@@ -1,0 +1,37 @@
+"""Frozen DPDist as a differentiable loss — functional composition.
+
+The reference's signature architectural move is TF1 meta-graph splicing:
+a trained DPDist checkpoint is imported into a new graph with input_map
+so its output becomes a frozen, differentiable loss
+(train_multi_gpu_pc_compare_dist.py:427-439, iterative_PCRNet_ours.py:229-234).
+
+In JAX this collapses to closing a pure function over a restored param
+pytree: gradients flow through the frozen network into the *inputs*
+(reconstructions / transformed sources), while stop_gradient on the params
+guarantees they never update — the exact semantics of the reference's
+"optimize only scope g2 / Network vars" trick, without graph surgery.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from dpdist_tpu.configs import DPDistConfig
+from dpdist_tpu.models.dpdist import dpdist_distance
+
+
+def make_frozen_dpdist_loss(params, state, cfg: DPDistConfig):
+    """Return loss_fn(pcA, pcB) -> scalar, closed over frozen params.
+
+    The returned function is jit/grad/vmap-compatible and runs the DPDist
+    network in inference mode (is_training=False, matching the reference's
+    spliced-graph behavior).
+    """
+    def loss_fn(pcA, pcB):
+        # stop_gradient inside the traced function so params stay frozen
+        # even when loss_fn is differentiated jointly with its closure.
+        frozen_params = jax.lax.stop_gradient(params)
+        frozen_state = jax.lax.stop_gradient(state)
+        return dpdist_distance(frozen_params, frozen_state, cfg, pcA, pcB)
+
+    return loss_fn

@@ -1,0 +1,211 @@
+"""DPDist: learned point-cloud-to-surface distance.
+
+Reference assembly: models/dpdist_and_aue.py:31-86 (get_model) wiring
+get_3dmfv_tf -> local_z -> DPDist (utils/dpdist_util.py:412-700).
+
+Forward semantics (k > 0, conv_version 1, the canonical config):
+  1. Encode each cloud into a (B, V, 20) Fisher-vector volume.
+  2. Extract k^3 local patches per voxel -> (B, V, 2500) table.
+  3. For each *query* point of the opposite cloud: find its voxel, fetch
+     that voxel's patch, concat [delta_xyz, patch] -> (B, N, 2503).
+  4. Both directions stacked into one 2B batch through the implicit MLP
+     (1024, 1024, 1024) -> output channels; relu6(x)/3 output in [0, 2];
+     outside-grid query points zeroed by the membership mask.
+
+Direction naming matches the reference: pred_AB scores the points of B
+against the surface encoded from A (dpdist_util.py:494-496), and is the
+prediction trained against the GT distance labels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from dpdist_tpu.configs import DPDistConfig
+from dpdist_tpu.nn.layers import dense_init, dense_apply, mlp_init, mlp_apply, batchnorm_init, batchnorm_apply
+from dpdist_tpu.ops.threedmfv import threedmfv
+from dpdist_tpu.ops.voxel import voxel_assign, extract_patches, gather_patches
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_dpdist(key, cfg: DPDistConfig):
+    """Create (params, state) for the DPDist model."""
+    keys = jax.random.split(key, 4)
+    params, state = {}, {}
+
+    if cfg.encoder == "pointnet":
+        pkeys = jax.random.split(keys[0], 4)
+        widths = [128, 128, 512, cfg.pointnet_embedding]
+        layers = []
+        bns_p, bns_s = [], []
+        d = cfg.dims
+        for i, (k, w) in enumerate(zip(pkeys, widths)):
+            # First layer was a [1, D] conv over 1 channel in the reference
+            # (pointnet_basic_model, dpdist_util.py:715-736).
+            fan = (d, d * w) if i == 0 else None
+            layers.append(dense_init(k, d, w, conv_fan=fan))
+            if cfg.use_bn and i > 0:  # reference: bn=False on conv1
+                bp, bs = batchnorm_init(w)
+                bns_p.append(bp)
+                bns_s.append(bs)
+            d = w
+        params["pointnet"] = {"layers": layers}
+        state["pointnet"] = {}
+        if cfg.use_bn:
+            params["pointnet"]["bn"] = bns_p
+            state["pointnet"]["bn"] = bns_s
+
+    in_dim = cfg.patch_dim + cfg.dims
+    widths = tuple(cfg.mlp) + (cfg.output_channels,)
+    if cfg.k > 0:
+        # Reference first layer: conv kernel [1, E+D] over 1 channel.
+        conv_fan_first = (in_dim, in_dim * widths[0])
+    else:
+        conv_fan_first = (in_dim, widths[0])
+    dec_p, dec_s = mlp_init(
+        keys[1], in_dim, widths, conv_fan_first=conv_fan_first, use_bn=cfg.use_bn
+    )
+    params["decoder"] = dec_p
+    state["decoder"] = dec_s
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def _pointnet_encode(params, state, cfg: DPDistConfig, points, *, train, bn_momentum):
+    x = points
+    layers = params["layers"]
+    use_bn = "bn" in params
+    new_bn = []
+    bn_i = 0
+    for i, lp in enumerate(layers):
+        x = dense_apply(lp, x)
+        if use_bn and i > 0:
+            x, s = batchnorm_apply(params["bn"][bn_i], state["bn"][bn_i], x,
+                                   train=train, momentum=bn_momentum)
+            new_bn.append(s)
+            bn_i += 1
+        x = jax.nn.relu(x)
+    emb = jnp.max(x, axis=1)  # (B, E) global max pool
+    new_state = {"bn": new_bn} if use_bn else {}
+    return emb, new_state
+
+
+def dpdist_embed(params, state, cfg: DPDistConfig, points, *, train: bool = False,
+                 bn_momentum=0.9):
+    """Encode a cloud into its queryable representation.
+
+    Returns (table, new_state):
+      k > 0: table is the (B, V, k^3*C) local-patch table;
+      k == 0: table is the (B, E) global embedding.
+    """
+    if cfg.encoder == "pointnet":
+        emb, ns = _pointnet_encode(params["pointnet"], state.get("pointnet", {}),
+                                   cfg, points, train=train, bn_momentum=bn_momentum)
+        return emb, {"pointnet": ns}
+    fv = threedmfv(points, cfg.embedding_size, cfg.sigma,
+                   flatten=(cfg.k == 0), full_fv=cfg.full_fv)
+    if cfg.k == 0:
+        return fv, {}
+    table = extract_patches(fv, cfg.grid_size, cfg.k)
+    return table, {}
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def _output_activation(x, output_act: str):
+    if output_act == "tanh":
+        return jnp.tanh(x)
+    if output_act == "relu":
+        # relu6(x)/3 -> range [0, 2] (dpdist_util.py:690-691)
+        return jnp.clip(x, 0.0, 6.0) / 3.0
+    # (-1, 1) centered variant (dpdist_util.py:693)
+    return jnp.clip(x + 3.0, 0.0, 6.0) / 3.0 - 1.0
+
+
+def _decoder_inputs(cfg: DPDistConfig, queries, table):
+    """Build (B, N, in_dim) decoder inputs + (B, N) mask for one direction."""
+    if cfg.k > 0:
+        vox, mask, delta = voxel_assign(queries, cfg.grid_size)
+        emb = gather_patches(table, vox, mask)
+        x = jnp.concatenate([delta, emb], axis=-1)
+        return x, mask
+    B, N, _ = queries.shape
+    emb = jnp.broadcast_to(table[:, None, :], (B, N, table.shape[-1]))
+    x = jnp.concatenate([queries, emb], axis=-1)
+    return x, jnp.ones((B, N), queries.dtype)
+
+
+def apply_dpdist(params, state, cfg: DPDistConfig, pcA, pcB, *,
+                 noise: Optional[jax.Array] = None, train: bool = False,
+                 bn_momentum=0.9):
+    """Full bidirectional forward pass.
+
+    Args:
+      pcA, pcB: (B, N, D) point clouds. Noise (if given) is added to pcA
+        only for the *encoder* input, exactly like the reference
+        (dpdist_and_aue.py:45: pcA_noise feeds the encoder; DPDist still
+        receives the raw clouds as queries).
+
+    Returns:
+      (pred_AB, pred_BA, new_state) with preds (B, N, output_channels):
+      pred_AB = distances of B's points to surface(A), mask-zeroed.
+    """
+    pcA_enc = pcA if noise is None else pcA + noise
+    tableA, nsA = dpdist_embed(params, state, cfg, pcA_enc, train=train,
+                               bn_momentum=bn_momentum)
+    tableB, nsB = dpdist_embed(params, state, cfg, pcB, train=train,
+                               bn_momentum=bn_momentum)
+    # NOTE: the reference shares encoder BN state across the two calls via
+    # variable reuse; with BN off (canonical config) the calls are pure.
+    # We keep the second call's state (matching TF's last-update-wins EMA).
+
+    xAB, maskAB = _decoder_inputs(cfg, pcB, tableA)   # B's points vs surf(A)
+    xBA, maskBA = _decoder_inputs(cfg, pcA, tableB)   # A's points vs surf(B)
+
+    # One 2B batch through the decoder — preserves BN-on batch statistics
+    # semantics of the reference's tf.concat([net, netB], 0)
+    # (dpdist_util.py:511).
+    x = jnp.concatenate([xAB, xBA], axis=0)
+    dtype = jnp.dtype(cfg.dtype)
+    if dtype != jnp.float32:
+        x = x.astype(dtype)
+    y, dec_state = mlp_apply(
+        params["decoder"], state.get("decoder", {}), x, train=train,
+        bn_momentum=bn_momentum,
+    )
+    y = y.astype(jnp.float32)
+    y = _output_activation(y, cfg.output_act)
+    pred_AB, pred_BA = jnp.split(y, 2, axis=0)
+    if cfg.k > 0:
+        pred_AB = pred_AB * maskAB[..., None]
+        pred_BA = pred_BA * maskBA[..., None]
+
+    new_state = dict(nsB) if cfg.encoder == "pointnet" else {}
+    new_state["decoder"] = dec_state
+    return pred_AB, pred_BA, new_state
+
+
+def dpdist_distance(params, state, cfg: DPDistConfig, pcA, pcB, *,
+                    per_example: bool = False):
+    """The scalar learned distance used as a downstream loss.
+
+    loss_pred = (mean(pred_AB[..., 0]) + mean(pred_BA[..., 0])) / 2
+    (dpdist_util.get_loss:976-979). Differentiable w.r.t. pcA/pcB; freeze
+    params with jax.lax.stop_gradient at the call site (see
+    losses/dpdist_loss.py) for frozen-loss composition.
+    """
+    pred_AB, pred_BA, _ = apply_dpdist(params, state, cfg, pcA, pcB, train=False)
+    if per_example:
+        return (jnp.mean(pred_AB[..., 0], axis=-1) + jnp.mean(pred_BA[..., 0], axis=-1)) / 2.0
+    return (jnp.mean(pred_AB[..., 0]) + jnp.mean(pred_BA[..., 0])) / 2.0

@@ -1,0 +1,56 @@
+"""Chamfer / nearest-neighbor distance — XLA matmul formulation.
+
+TPU-native replacement for the reference's external CUDA op
+tf_nndistance.nn_distance (pcrnet-registration/utils/tf_util_loss.py:35-39,
+built by run_train_and_eval_PCRNet.bash:5-8). The pairwise squared
+distances are computed with the matmul identity so the O(N*M*3) work runs
+on the MXU; row/col min-reductions fuse in XLA. A Pallas tiled variant for
+very large clouds lives in dpdist_tpu.kernels.chamfer_pallas.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sqdist(x, y):
+    """(B, N, D), (B, M, D) -> (B, N, M) squared euclidean distances.
+
+    Clamped at zero to guard the matmul identity's negative round-off.
+    """
+    x2 = jnp.sum(x * x, axis=-1)[..., :, None]
+    y2 = jnp.sum(y * y, axis=-1)[..., None, :]
+    xy = jnp.einsum("bnd,bmd->bnm", x, y,
+                    precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
+
+
+def nn_distance(pc1, pc2):
+    """Bidirectional squared NN distances + indices.
+
+    Matches the CUDA op's interface: returns (dist1, idx1, dist2, idx2)
+    where dist1[b, n] = min_m ||pc1[b,n] - pc2[b,m]||^2.
+    """
+    d = pairwise_sqdist(pc1, pc2)
+    dist1 = jnp.min(d, axis=2)
+    idx1 = jnp.argmin(d, axis=2).astype(jnp.int32)
+    dist2 = jnp.min(d, axis=1)
+    idx2 = jnp.argmin(d, axis=1).astype(jnp.int32)
+    return dist1, idx1, dist2, idx2
+
+
+def chamfer_distance(pc1, pc2, *, sqrt: bool = True):
+    """Scalar chamfer distance over a batch.
+
+    sqrt=True matches tf_util_loss.chamfer (mean of euclidean NN distances,
+    tf_util_loss.py:35-39); sqrt=False matches the squared variant used by
+    the AUE trainer's chmafer_dist (train_multi_gpu_pc_compare_dist.py:912-916).
+    """
+    d = pairwise_sqdist(pc1, pc2)
+    d1 = jnp.min(d, axis=2)
+    d2 = jnp.min(d, axis=1)
+    if sqrt:
+        d1 = jnp.sqrt(jnp.maximum(d1, 1e-12))
+        d2 = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    return (jnp.mean(d1) + jnp.mean(d2)) / 2.0

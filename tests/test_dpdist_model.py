@@ -1,0 +1,101 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dpdist_tpu.configs import DPDistConfig
+from dpdist_tpu.models import init_dpdist, apply_dpdist, dpdist_distance
+from dpdist_tpu.losses import make_frozen_dpdist_loss
+
+CFG = DPDistConfig(num_point=16, embedding_size=64, k=3, mlp=(64, 64, 64))
+
+
+def _clouds(rng, B=2, N=16):
+    pcA = rng.uniform(-0.8, 0.8, (B, N, 3)).astype(np.float32)
+    pcB = rng.uniform(-0.8, 0.8, (B, N, 3)).astype(np.float32)
+    return jnp.asarray(pcA), jnp.asarray(pcB)
+
+
+def test_forward_shapes_and_range(rng):
+    params, state = init_dpdist(jax.random.PRNGKey(0), CFG)
+    pcA, pcB = _clouds(rng)
+    predAB, predBA, _ = apply_dpdist(params, state, CFG, pcA, pcB)
+    assert predAB.shape == (2, 16, 3)
+    assert predBA.shape == (2, 16, 3)
+    # relu6(x)/3 output range
+    assert float(jnp.min(predAB)) >= 0.0
+    assert float(jnp.max(predAB)) <= 2.0
+
+
+def test_outside_grid_points_masked(rng):
+    params, state = init_dpdist(jax.random.PRNGKey(0), CFG)
+    pcA, pcB = _clouds(rng)
+    pcB_out = pcB.at[:, :4].set(5.0)  # push some queries outside the grid
+    predAB, _, _ = apply_dpdist(params, state, CFG, pcA, pcB_out)
+    np.testing.assert_allclose(np.asarray(predAB[:, :4]), 0.0, atol=1e-7)
+
+
+def test_jit_and_grad(rng):
+    params, state = init_dpdist(jax.random.PRNGKey(1), CFG)
+    pcA, pcB = _clouds(rng)
+    labels = jnp.abs(jnp.asarray(np.random.default_rng(1).normal(size=(2, 16)))).astype(jnp.float32)
+
+    @jax.jit
+    def loss_fn(p, a, b, y):
+        predAB, _, _ = apply_dpdist(p, state, CFG, a, b)
+        return jnp.mean(jnp.abs(predAB[..., 0] - y))
+
+    g = jax.grad(loss_fn)(params, pcA, pcB, labels)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+
+def test_frozen_loss_grad_flows_to_inputs_not_params(rng):
+    params, state = init_dpdist(jax.random.PRNGKey(2), CFG)
+    pcA, pcB = _clouds(rng)
+    loss = make_frozen_dpdist_loss(params, state, CFG)
+
+    gA = jax.grad(lambda a: loss(a, pcB))(pcA)
+    assert np.isfinite(np.asarray(gA)).all()
+    assert float(jnp.max(jnp.abs(gA))) > 0
+
+    # Differentiating through the closure w.r.t. params must give zeros.
+    def wrt_params(p):
+        return make_frozen_dpdist_loss(p, state, CFG)(pcA, pcB)
+
+    gp = jax.grad(wrt_params)(params)
+    assert all(float(jnp.max(jnp.abs(l))) == 0 for l in jax.tree_util.tree_leaves(gp))
+
+
+def test_global_k0_variant(rng):
+    cfg = DPDistConfig(num_point=16, embedding_size=64, k=0, mlp=(32, 32, 32))
+    params, state = init_dpdist(jax.random.PRNGKey(3), cfg)
+    pcA, pcB = _clouds(rng)
+    predAB, predBA, _ = apply_dpdist(params, state, cfg, pcA, pcB)
+    assert predAB.shape == (2, 16, 3)
+
+
+def test_pointnet_encoder_variant(rng):
+    cfg = DPDistConfig(num_point=16, embedding_size=64, k=0, mlp=(32, 32, 32),
+                       encoder="pointnet", pointnet_embedding=64)
+    params, state = init_dpdist(jax.random.PRNGKey(4), cfg)
+    pcA, pcB = _clouds(rng)
+    predAB, predBA, _ = apply_dpdist(params, state, cfg, pcA, pcB)
+    assert predAB.shape == (2, 16, 3)
+
+
+def test_noise_only_affects_encoder(rng):
+    params, state = init_dpdist(jax.random.PRNGKey(5), CFG)
+    pcA, pcB = _clouds(rng)
+    # Huge noise: embeddings change, but queries (raw points) stay valid.
+    noise = jnp.ones_like(pcA) * 0.05
+    p1, _, _ = apply_dpdist(params, state, CFG, pcA, pcB)
+    p2, _, _ = apply_dpdist(params, state, CFG, pcA, pcB, noise=noise)
+    assert not np.allclose(np.asarray(p1), np.asarray(p2))
+
+
+def test_distance_self_symmetry(rng):
+    params, state = init_dpdist(jax.random.PRNGKey(6), CFG)
+    pcA, pcB = _clouds(rng)
+    d = dpdist_distance(params, state, CFG, pcA, pcB, per_example=True)
+    assert d.shape == (2,)

@@ -1,0 +1,80 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial.distance import cdist
+from scipy.optimize import linear_sum_assignment
+
+from dpdist_tpu.ops.chamfer import nn_distance, chamfer_distance, pairwise_sqdist
+from dpdist_tpu.ops.emd import sinkhorn_emd, earth_mover_distance
+from dpdist_tpu.losses import l1_sample_loss, pred_mean_loss
+
+
+def test_pairwise_sqdist_matches_cdist(rng):
+    x = rng.normal(size=(2, 24, 3)).astype(np.float32)
+    y = rng.normal(size=(2, 40, 3)).astype(np.float32)
+    got = np.asarray(pairwise_sqdist(jnp.asarray(x), jnp.asarray(y)))
+    for b in range(2):
+        want = cdist(x[b], y[b]) ** 2
+        np.testing.assert_allclose(got[b], want, atol=1e-4)
+
+
+def test_nn_distance_matches_bruteforce(rng):
+    x = rng.normal(size=(2, 16, 3)).astype(np.float32)
+    y = rng.normal(size=(2, 24, 3)).astype(np.float32)
+    d1, i1, d2, i2 = nn_distance(jnp.asarray(x), jnp.asarray(y))
+    for b in range(2):
+        D = cdist(x[b], y[b]) ** 2
+        np.testing.assert_allclose(np.asarray(d1)[b], D.min(1), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i1)[b], D.argmin(1))
+        np.testing.assert_allclose(np.asarray(d2)[b], D.min(0), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i2)[b], D.argmin(0))
+
+
+def test_chamfer_identical_clouds_zero(rng):
+    x = rng.normal(size=(1, 32, 3)).astype(np.float32)
+    c = float(chamfer_distance(jnp.asarray(x), jnp.asarray(x)))
+    # matmul-identity round-off puts a ~sqrt(1e-9) floor on the distance
+    assert c < 1e-4
+
+
+def test_emd_matches_hungarian(rng):
+    # For equal-size clouds and uniform weights, exact EMD = optimal
+    # assignment cost / N. Sinkhorn with annealed temperature should land
+    # within a few percent.
+    x = rng.normal(size=(1, 24, 3)).astype(np.float32)
+    y = rng.normal(size=(1, 24, 3)).astype(np.float32)
+    D = cdist(x[0], y[0])
+    r, c = linear_sum_assignment(D)
+    exact = D[r, c].sum() / 24.0
+    approx = float(earth_mover_distance(jnp.asarray(x), jnp.asarray(y), iters=100))
+    # Entropic plan with approximate marginals may land slightly below or
+    # above the hard-assignment optimum; require agreement within 2%.
+    assert abs(approx - exact) <= exact * 0.02 + 1e-3, (approx, exact)
+
+
+def test_emd_identical_zero(rng):
+    x = rng.normal(size=(1, 16, 3)).astype(np.float32)
+    v = float(earth_mover_distance(jnp.asarray(x), jnp.asarray(x)))
+    assert v < 0.05
+
+
+def test_emd_gradient_direction(rng):
+    # Moving y towards x along the gradient must decrease EMD.
+    x = jnp.asarray(rng.normal(size=(1, 16, 3)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(1, 16, 3)).astype(np.float32))
+
+    def f(yy):
+        return jnp.mean(sinkhorn_emd(x, yy))
+
+    g = jax.grad(f)(y)
+    assert np.isfinite(np.asarray(g)).all()
+    v0 = float(f(y))
+    v1 = float(f(y - 0.01 * g / (jnp.linalg.norm(g) + 1e-9)))
+    assert v1 <= v0 + 1e-6
+
+
+def test_l1_sample_loss():
+    pred = jnp.ones((2, 8, 3)) * 0.5
+    labels = jnp.zeros((2, 8))
+    assert abs(float(l1_sample_loss(pred, labels)) - 0.5) < 1e-6
+    assert abs(float(pred_mean_loss(pred, pred)) - 0.5) < 1e-6
