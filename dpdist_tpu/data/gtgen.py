@@ -1,0 +1,158 @@
+"""Offline GT-distance dataset generation.
+
+Reference: dataset_sample_with_gt.py:60-139. Per model:
+  * scale the dense 10k-point surface by 0.8;
+  * rejection-sample uniform points, keep 10^4 "near" points with
+    min_eps < d < 2*eps (eps=0.05) and 10^4 "far" points with d > 2*eps,
+    where d = min distance to the dense cloud;
+  * overwrite the last 10% of the far set with points sampled outside the
+    unit sphere;
+  * write three txt files: *_dist_c_scaled.txt (surface),
+    *_10000_dist_c_neg_l.txt (near + GT dist col 4),
+    *_10000_dist_c_neg_u.txt (far + GT dist col 4).
+
+This implementation fixes the reference's latent bug where fn_neg is
+reassigned so the near file is overwritten by the far file
+(dataset_sample_with_gt.py:72-73,134-135) — both files are written.
+
+Min-distance computation runs as a batched JAX matmul-min on the default
+device (the TPU when available), tiled so the (n_query, 10k) distance
+matrix never exceeds a fixed budget; this replaces the reference's
+scipy.cdist host loop and is the reason generation is fast enough to run
+inline in tests.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Iterable, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=())
+def _min_dist_tile(query, dense):
+    """(Q, 3) x (M, 3) -> (Q,) euclidean min distance."""
+    q2 = jnp.sum(query * query, 1)[:, None]
+    d2 = jnp.sum(dense * dense, 1)[None, :]
+    qd = query @ dense.T
+    sq = jnp.maximum(q2 + d2 - 2.0 * qd, 0.0)
+    return jnp.sqrt(jnp.min(sq, axis=1))
+
+
+def min_distances(query: np.ndarray, dense: np.ndarray,
+                  tile: int = 8192) -> np.ndarray:
+    """Min euclidean distance from each query point to the dense cloud."""
+    out = np.empty(len(query), np.float32)
+    dense_j = jnp.asarray(dense.astype(np.float32))
+    for s in range(0, len(query), tile):
+        q = query[s:s + tile].astype(np.float32)
+        pad = 0
+        if len(q) < tile and s > 0:
+            pad = tile - len(q)
+            q = np.pad(q, ((0, pad), (0, 0)))
+        d = np.asarray(_min_dist_tile(jnp.asarray(q), dense_j))
+        out[s:s + tile] = d[: tile - pad] if pad else d[: len(out) - s]
+    return out
+
+
+def _uniform_cube(rng, n):
+    return rng.uniform(-1, 1, (n, 3))
+
+
+def generate_gt_for_points(point_set: np.ndarray, *, eps: float = 0.05,
+                           min_eps: float = 0.001, num_neg_points: int = 10 ** 4,
+                           rng: np.random.Generator | None = None,
+                           scale: float = 0.8):
+    """Produce (scaled_surface, near_set, far_set) for one dense cloud.
+
+    near/far sets are (num_neg_points, 4): xyz + GT distance, matching the
+    reference's file layout. 10% of the far set lies outside the unit
+    sphere (dataset_sample_with_gt.py:113-130).
+    """
+    rng = rng or np.random.default_rng(0)
+    surface = (point_set[:, :3] * scale).astype(np.float32)
+    f = 2.0
+
+    near_parts, far_parts = [], []
+    n_near = n_far = 0
+    while n_near < num_neg_points:
+        cand = _uniform_cube(rng, 50000)
+        d = min_distances(cand, surface)
+        with_d = np.concatenate([cand, d[:, None]], -1).astype(np.float32)
+        sel_near = (d > min_eps) & (d < f * eps)
+        near_parts.append(with_d[sel_near])
+        n_near += sel_near.sum()
+        if n_far < num_neg_points:
+            sel_far = d > f * eps
+            far_parts.append(with_d[sel_far])
+            n_far += sel_far.sum()
+    near = np.concatenate(near_parts, 0)[:num_neg_points]
+    far = np.concatenate(far_parts, 0)[:num_neg_points]
+
+    # 10% of far points forced outside the unit sphere
+    n_out = int(num_neg_points * 0.1)
+    outs = []
+    n_o = 0
+    while n_o < n_out:
+        cand = _uniform_cube(rng, 50000)
+        cand = cand[np.linalg.norm(cand, axis=1) > 1]
+        d = min_distances(cand, surface)
+        outs.append(np.concatenate([cand, d[:, None]], -1).astype(np.float32))
+        n_o += len(cand)
+    far[-n_out:] = np.concatenate(outs, 0)[:n_out]
+    return surface, near, far
+
+
+def write_reference_format(base_path: str, surface: np.ndarray,
+                           near: np.ndarray, far: np.ndarray,
+                           num_neg_points: int = 10 ** 4) -> None:
+    """Write the three txt files the loader expects.
+
+    base_path is the model path without extension, e.g.
+    '<root>/chair/chair_0001'.
+    """
+    np.savetxt(base_path + "_dist_c_scaled.txt", surface, fmt="%.6f", delimiter=",")
+    np.savetxt(base_path + f"_{num_neg_points}_dist_c_neg_l.txt", near,
+               fmt="%.6f", delimiter=",")
+    np.savetxt(base_path + f"_{num_neg_points}_dist_c_neg_u.txt", far,
+               fmt="%.6f", delimiter=",")
+
+
+def generate_synthetic_dataset(root: str, *, families: Sequence[str] = ("chair",),
+                               n_train: int = 8, n_test: int = 2,
+                               n_surface: int = 10000,
+                               num_neg_points: int = 10 ** 4,
+                               eps: float = 0.05, seed: int = 0) -> None:
+    """Create a ModelNet-layout synthetic dataset with GT distances.
+
+    Produces the directory structure modelnet_dataset.ModelNetDataset
+    expects: <root>/<family>/<family>_NNNN_* files plus
+    modelnet40_shape_names.txt and modelnet40_{train,test}.txt indices.
+    """
+    from dpdist_tpu.data.synthetic import synthetic_surface
+
+    os.makedirs(root, exist_ok=True)
+    train_ids, test_ids = [], []
+    for fam in families:
+        os.makedirs(os.path.join(root, fam), exist_ok=True)
+        for i in range(n_train + n_test):
+            sid = f"{fam}_{i + 1:04d}"
+            rng = np.random.default_rng(seed + i * 1000 + hash(fam) % 1000)
+            dense = synthetic_surface(fam, seed=seed + i, n_points=n_surface)
+            surface, near, far = generate_gt_for_points(
+                dense, eps=eps, num_neg_points=num_neg_points, rng=rng
+            )
+            write_reference_format(os.path.join(root, fam, sid), surface,
+                                   near, far, num_neg_points)
+            (train_ids if i < n_train else test_ids).append(sid)
+    with open(os.path.join(root, "modelnet40_shape_names.txt"), "w") as fh:
+        fh.write("\n".join(families) + "\n")
+    with open(os.path.join(root, "modelnet40_train.txt"), "w") as fh:
+        fh.write("\n".join(train_ids) + "\n")
+    with open(os.path.join(root, "modelnet40_test.txt"), "w") as fh:
+        fh.write("\n".join(test_ids) + "\n")

@@ -1,0 +1,79 @@
+"""shard_map train-step builders: synchronous data parallelism.
+
+Replaces the reference's tower DP + average_gradients
+(train_multi_gpu_pc_compare_dist.py:237-302, 936-974): parameters are
+replicated, the batch is sharded over the 'data' mesh axis, and gradients
+are all-reduced with a single psum compiled onto ICI — strictly simpler
+and faster than in-graph concat/mean gradient exchange.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully-replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Shard leading (batch) axis of every leaf over the 'data' axis."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.device_put(tree, sharding)
+
+
+def build_sharded_train_step(loss_fn: Callable, optimizer, mesh: Mesh,
+                             *, donate: bool = True):
+    """Build a jitted SPMD train step.
+
+    Args:
+      loss_fn: (params, state, batch) -> (loss, new_state). `batch` is a
+        pytree whose leaves have a leading per-device batch axis; `state`
+        (BN EMAs etc.) is replicated and merged with a mean across devices.
+      optimizer: optax-style (init, update) pair / GradientTransformation.
+      mesh: the device mesh with a 'data' axis.
+
+    Returns:
+      (init_fn, step_fn):
+        init_fn(params) -> opt_state (replicated)
+        step_fn(params, state, opt_state, batch) ->
+            (params, state, opt_state, metrics)
+    """
+
+    def init_fn(params):
+        return replicate(optimizer.init(params), mesh)
+
+    def _local_step(params, state, opt_state, batch):
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state, batch
+        )
+        # Cross-device synchronization: one psum over ICI.
+        grads = jax.lax.pmean(grads, axis_name="data")
+        loss = jax.lax.pmean(loss, axis_name="data")
+        new_state = jax.lax.pmean(new_state, axis_name="data")
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = jnp.sqrt(
+            sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree_util.tree_leaves(grads))
+        )
+        return params, new_state, opt_state, {"loss": loss, "grad_norm": gnorm}
+
+    sharded = jax.shard_map(
+        _local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data")),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    donate_argnums = (0, 1, 2) if donate else ()
+    step_fn = jax.jit(sharded, donate_argnums=donate_argnums)
+    return init_fn, step_fn

@@ -1,0 +1,75 @@
+"""Checkpointing: pytrees <-> npz + json treedef.
+
+The TPU-native replacement for tf.train.Saver (SURVEY §5): checkpoints are
+plain param/state pytrees, and the reference's meta-graph-based module
+composition (import_meta_graph + input_map,
+train_multi_gpu_pc_compare_dist.py:427-439) becomes simply restoring a
+pytree and closing a pure function over it (losses/dpdist_loss.py).
+
+Format: <path>.npz holds the flattened leaves as arrays leaf_00000...;
+<path>.json holds the key paths + metadata, so checkpoints are stable
+across refactors that preserve dict structure and are readable without
+this library.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Optional
+
+import numpy as np
+import jax
+
+
+def _flatten_with_paths(tree):
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    paths = ["/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+             for path, _ in flat]
+    leaves = [leaf for _, leaf in flat]
+    return paths, leaves
+
+
+def save_checkpoint(path: str, tree: Any, *, step: Optional[int] = None,
+                    metadata: Optional[dict] = None) -> str:
+    """Save a pytree. `path` is the base path (no extension)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    paths, leaves = _flatten_with_paths(tree)
+    arrays = {f"leaf_{i:05d}": np.asarray(l) for i, l in enumerate(leaves)}
+    np.savez(path + ".npz", **arrays)
+    meta = {"paths": paths, "step": step, "metadata": metadata or {}}
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def restore_checkpoint(path: str, template: Any):
+    """Restore into the structure of `template` (a matching pytree)."""
+    with np.load(path + ".npz") as data:
+        leaves = [data[f"leaf_{i:05d}"] for i in range(len(data.files))]
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    t_paths, t_leaves = _flatten_with_paths(template)
+    if t_paths != meta["paths"]:
+        raise ValueError(
+            "checkpoint structure mismatch:\n saved: %s...\n template: %s..."
+            % (meta["paths"][:5], t_paths[:5])
+        )
+    treedef = jax.tree_util.tree_structure(template)
+    restored = jax.tree_util.tree_unflatten(treedef, leaves)
+    return restored, meta.get("step"), meta.get("metadata", {})
+
+
+def latest_checkpoint(run_dir: str, prefix: str = "ckpt") -> Optional[str]:
+    """Find the newest '<prefix>_<step>' base path in run_dir."""
+    if not os.path.isdir(run_dir):
+        return None
+    best, best_step = None, -1
+    pat = re.compile(rf"^{re.escape(prefix)}_(\d+)\.json$")
+    for fn in os.listdir(run_dir):
+        m = pat.match(fn)
+        if m and int(m.group(1)) > best_step:
+            best_step = int(m.group(1))
+            best = os.path.join(run_dir, fn[:-5])
+    return best

@@ -1,0 +1,166 @@
+"""DPDist training driver.
+
+The TPU-native equivalent of train() phase 1
+(train_multi_gpu_pc_compare_dist.py:186-357): one jitted SPMD train step
+over a data-parallel mesh, epoch loop over the surface-pair dataset with
+the reference's batch-assembly semantics, periodic eval + checkpointing.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dpdist_tpu.configs import DPDistConfig, TrainConfig
+from dpdist_tpu.data.batching import assemble_dpdist_batch
+from dpdist_tpu.losses import l1_sample_loss
+from dpdist_tpu.models import init_dpdist, apply_dpdist
+from dpdist_tpu.parallel import make_mesh, replicate, shard_batch, build_sharded_train_step
+from dpdist_tpu.train.checkpoint import save_checkpoint, restore_checkpoint, latest_checkpoint
+from dpdist_tpu.train.logging import RunLogger
+from dpdist_tpu.train.optim import make_optimizer
+
+
+class DPDistTrainer:
+    def __init__(self, model_cfg: DPDistConfig, train_cfg: TrainConfig,
+                 *, run_dir: str = "runs/dpdist", mesh=None,
+                 logger: Optional[RunLogger] = None):
+        self.mcfg = model_cfg
+        self.tcfg = train_cfg
+        self.run_dir = run_dir
+        self.mesh = mesh if mesh is not None else make_mesh(data=1)
+        ndata = self.mesh.shape["data"]
+        if train_cfg.batch_size % ndata:
+            raise ValueError(
+                f"batch_size {train_cfg.batch_size} not divisible by data axis {ndata}"
+            )
+        self.logger = logger or RunLogger(
+            run_dir,
+            config_json='{"model": %s, "train": %s}' % (model_cfg.to_json(),
+                                                        train_cfg.to_json()),
+        )
+
+        key = jax.random.PRNGKey(train_cfg.seed)
+        params, state = init_dpdist(key, model_cfg)
+        self.params = replicate(params, self.mesh)
+        self.state = replicate(state, self.mesh)
+        self.optimizer = make_optimizer(train_cfg)
+
+        mcfg = model_cfg
+
+        def loss_fn(p, s, batch):
+            pcA, pcB, labels = batch["pcA"], batch["pcB"], batch["labels"]
+            noise = batch.get("noise")
+            pred_AB, _, new_state = apply_dpdist(
+                p, s, mcfg, pcA, pcB, noise=noise, train=True
+            )
+            return l1_sample_loss(pred_AB, labels), new_state
+
+        self._loss_fn = loss_fn
+        init_opt, self._step = build_sharded_train_step(
+            loss_fn, self.optimizer, self.mesh
+        )
+        self.opt_state = init_opt(params)
+        self.global_step = 0
+        self._np_rng = np.random.default_rng(train_cfg.seed + 1)
+
+    # ------------------------------------------------------------------
+
+    def _make_batch(self, batch_data, batch_labels):
+        pcA, pcB, labels = assemble_dpdist_batch(batch_data, batch_labels)
+        batch = {"pcA": pcA, "pcB": pcB, "labels": labels}
+        if self.tcfg.add_noise > 0:
+            batch["noise"] = (
+                self._np_rng.standard_normal(pcA.shape) * self.tcfg.add_noise
+            ).astype(np.float32)
+        return shard_batch(batch, self.mesh)
+
+    def train_step(self, batch_data, batch_labels):
+        batch = self._make_batch(batch_data, batch_labels)
+        self.params, self.state, self.opt_state, metrics = self._step(
+            self.params, self.state, self.opt_state, batch
+        )
+        self.global_step += 1
+        return metrics
+
+    def train_epoch(self, dataset, epoch: int):
+        losses = []
+        dataset.reset()
+        while dataset.has_next_batch():
+            bd, bl = dataset.next_batch(augment=self.tcfg.augment)
+            if bd.shape[0] < self.tcfg.batch_size:
+                # the sharded step is compiled for exactly batch_size
+                # (reference asserts BATCH_SIZE % NUM_GPUS too); drop tails
+                continue
+            m = self.train_step(bd, bl)
+            losses.append(float(m["loss"]))
+            if len(losses) % self.tcfg.log_every == 0:
+                self.logger.log(
+                    f" ---- batch: {len(losses):03d} ---- mean loss: "
+                    f"{np.mean(losses[-self.tcfg.log_every:]):f}"
+                )
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        self.logger.log(f" ---- epoch: {epoch + 1:03d} ---- mean loss: {mean_loss:f}")
+        self.logger.metrics(self.global_step, epoch=epoch, train_loss=mean_loss)
+        return mean_loss
+
+    def eval_epoch(self, dataset, epoch: int):
+        """eval_one_epoch_3d parity: L1 on the held-out split, no augment."""
+        mcfg, state = self.mcfg, self.state
+
+        @jax.jit
+        def eval_loss(p, s, pcA, pcB, labels):
+            pred_AB, _, _ = apply_dpdist(p, s, mcfg, pcA, pcB, train=False)
+            return l1_sample_loss(pred_AB, labels)
+
+        losses = []
+        dataset.reset()
+        while dataset.has_next_batch():
+            bd, bl = dataset.next_batch(augment=False)
+            if bd.shape[0] < dataset.batch_size:
+                continue  # drop only the ragged tail (avoids a recompile)
+            pcA, pcB, labels = assemble_dpdist_batch(bd, bl)
+            losses.append(float(eval_loss(self.params, state, pcA, pcB, labels)))
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        self.logger.log(f"eval mean loss: {mean_loss:f}")
+        self.logger.metrics(self.global_step, epoch=epoch, eval_loss=mean_loss)
+        return mean_loss
+
+    # ------------------------------------------------------------------
+
+    def fit(self, train_dataset, test_dataset=None, *, max_epoch=None,
+            eval_every: int = 10):
+        max_epoch = max_epoch if max_epoch is not None else self.tcfg.max_epoch
+        for epoch in range(max_epoch):
+            self.train_epoch(train_dataset, epoch)
+            if (epoch % eval_every == 0) and test_dataset is not None:
+                self.eval_epoch(test_dataset, epoch)
+            if epoch % self.tcfg.checkpoint_every_epochs == 0:
+                self.save(tag=self.global_step)
+        self.save(tag=self.global_step)
+
+    def save(self, tag):
+        path = os.path.join(self.run_dir, f"ckpt_{tag}")
+        save_checkpoint(path, {"params": self.params, "state": self.state},
+                        step=self.global_step,
+                        metadata={"model_config": self.mcfg.to_json()})
+        self.logger.log(f"checkpoint saved: {path}")
+        return path
+
+    def restore(self, path: Optional[str] = None):
+        path = path or latest_checkpoint(self.run_dir)
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint under {self.run_dir}")
+        tree, step, _ = restore_checkpoint(
+            path, {"params": jax.device_get(self.params),
+                   "state": jax.device_get(self.state)}
+        )
+        self.params = replicate(tree["params"], self.mesh)
+        self.state = replicate(tree["state"], self.mesh)
+        if step:
+            self.global_step = step
+        self.logger.log(f"restored checkpoint: {path} (step {step})")

@@ -1,0 +1,123 @@
+import numpy as np
+import pytest
+
+from dpdist_tpu.data.synthetic import synthetic_surface, SHAPE_FAMILIES
+from dpdist_tpu.data.gtgen import (
+    generate_gt_for_points,
+    generate_synthetic_dataset,
+    min_distances,
+)
+from dpdist_tpu.data.modelnet import SurfacePairDataset
+from dpdist_tpu.data.batching import assemble_dpdist_batch
+from dpdist_tpu.data import augment
+
+
+def test_synthetic_surfaces_unit_scale():
+    for fam in SHAPE_FAMILIES:
+        pts = synthetic_surface(fam, seed=0, n_points=512)
+        assert pts.shape == (512, 3)
+        r = np.linalg.norm(pts, axis=1).max()
+        assert r <= 1.0 + 1e-5, (fam, r)
+        # deterministic
+        pts2 = synthetic_surface(fam, seed=0, n_points=512)
+        np.testing.assert_array_equal(pts, pts2)
+
+
+def test_min_distances_matches_scipy(rng):
+    from scipy.spatial.distance import cdist
+    dense = rng.normal(size=(500, 3)).astype(np.float32)
+    q = rng.normal(size=(100, 3)).astype(np.float32)
+    got = min_distances(q, dense)
+    want = cdist(q, dense).min(1)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_gt_generation_invariants(rng):
+    dense = synthetic_surface("sphere", seed=1, n_points=2000)
+    surface, near, far = generate_gt_for_points(
+        dense, eps=0.05, num_neg_points=500, rng=rng
+    )
+    # scaled by 0.8
+    np.testing.assert_allclose(surface, dense[:, :3] * 0.8, atol=1e-6)
+    assert near.shape == (500, 4) and far.shape == (500, 4)
+    # near band: min_eps < d < 2*eps (d computed vs the scaled surface)
+    assert (near[:, 3] > 0.001).all() and (near[:, 3] < 0.1).all()
+    # far (excluding the outside-sphere tail replacements): d > 2*eps
+    assert (far[:450, 3] > 0.1).all()
+    # last 10% outside the unit sphere
+    tail = far[-50:]
+    assert (np.linalg.norm(tail[:, :3], axis=1) > 1).all()
+    # GT distances are true min distances to the scaled surface
+    d_check = min_distances(near[:, :3].astype(np.float32), surface)
+    np.testing.assert_allclose(near[:, 3], d_check, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synthdata"))
+    generate_synthetic_dataset(
+        root, families=("chair",), n_train=3, n_test=1,
+        n_surface=600, num_neg_points=300, seed=0,
+    )
+    return root
+
+
+def test_dataset_loader_shapes(tiny_dataset):
+    ds = SurfacePairDataset(tiny_dataset, batch_size=2, npoints=32,
+                            split="train", class_choice="chair",
+                            num_neg_points=300, seed=0)
+    assert len(ds) == 3
+    data, labels = ds.next_batch()
+    assert data.shape == (2, 96, 3)
+    assert labels.shape == (2, 64)
+    # labels are nonnegative distances
+    assert (labels >= 0).all()
+
+
+def test_batch_assembly_semantics(tiny_dataset):
+    ds = SurfacePairDataset(tiny_dataset, batch_size=2, npoints=32,
+                            split="train", num_neg_points=300, seed=0)
+    data, labels = ds.next_batch()
+    pcA, pcB, lab = assemble_dpdist_batch(data, labels)
+    N = 16  # npoints = 2*N
+    assert pcA.shape == (2, N, 3) and pcB.shape == (2, N, 3)
+    assert lab.shape == (2, N)
+    # first half of labels_AB are exactly zero (surface points)
+    np.testing.assert_array_equal(lab[:, : N // 2], 0.0)
+    # pcA points come from the surface block
+    surface = data[:, :32]
+    for b in range(2):
+        for p in pcA[b]:
+            assert (np.abs(surface[b] - p).sum(1) < 1e-6).any()
+
+
+def test_dataset_iteration_and_reset(tiny_dataset):
+    ds = SurfacePairDataset(tiny_dataset, batch_size=2, npoints=16,
+                            split="train", num_neg_points=300)
+    n = 0
+    while ds.has_next_batch():
+        ds.next_batch()
+        n += 1
+    assert n == 2  # ceil(3/2)
+    ds.reset()
+    assert ds.has_next_batch()
+
+
+def test_augmentations_preserve_shape(rng):
+    batch = rng.normal(size=(2, 64, 3)).astype(np.float32)
+    for fn in (augment.rotate_point_cloud, augment.rotate_point_cloud_z,
+               augment.rotate_perturbation_point_cloud,
+               augment.jitter_point_cloud, augment.shift_point_cloud,
+               augment.random_scale_point_cloud, augment.random_point_dropout,
+               augment.shuffle_points, augment.augment_batch):
+        out = fn(batch, np.random.default_rng(0))
+        assert out.shape == batch.shape
+        assert out.dtype == np.float32
+
+
+def test_rotation_preserves_norms(rng):
+    batch = rng.normal(size=(2, 64, 3)).astype(np.float32)
+    out = augment.rotate_point_cloud(batch, np.random.default_rng(0))
+    np.testing.assert_allclose(
+        np.linalg.norm(out, axis=2), np.linalg.norm(batch, axis=2), atol=1e-4
+    )
