@@ -1,0 +1,85 @@
+"""Shared CLI helpers."""
+
+from __future__ import annotations
+
+import argparse
+
+import os
+
+import jax
+
+from dpdist_tpu.configs import DPDistConfig, TrainConfig
+from dpdist_tpu.parallel import make_mesh
+
+# Allow overriding the platform (e.g. DPDIST_PLATFORM=cpu for smoke runs).
+# Some environments pin JAX_PLATFORMS via sitecustomize, so the standard
+# env var cannot be relied on; this runs before backend initialization as
+# long as cli modules are imported first.
+_plat = os.environ.get("DPDIST_PLATFORM")
+if _plat:
+    jax.config.update("jax_platforms", _plat)
+
+
+def add_dpdist_model_args(p: argparse.ArgumentParser):
+    """Flags mirroring train_multi_gpu_pc_compare_dist.py:41-69."""
+    p.add_argument("--num_point", type=int, default=64)
+    p.add_argument("--embedding_size", type=int, default=8 ** 3)
+    p.add_argument("--sigma3dmfv", type=float, default=2.0,
+                   help="sigma = this * 0.0625 (reference :103)")
+    p.add_argument("--K", type=int, default=5)
+    p.add_argument("--encoder", default="3dmfv", choices=["3dmfv", "pointnet"])
+    p.add_argument("--full_fv", default="full", choices=["full", "small"])
+    p.add_argument("--implicit_net_type", type=int, default=1, choices=[1, 3])
+    p.add_argument("--BN", type=int, default=0)
+    p.add_argument("--mlp", type=int, nargs="+", default=[1024, 1024, 1024])
+
+
+def dpdist_config_from_args(a) -> DPDistConfig:
+    return DPDistConfig(
+        num_point=a.num_point,
+        embedding_size=a.embedding_size,
+        sigma=a.sigma3dmfv * 0.0625,
+        full_fv=(a.full_fv == "full"),
+        k=a.K,
+        mlp=tuple(a.mlp),
+        conv_version=a.implicit_net_type,
+        encoder=a.encoder,
+        use_bn=bool(a.BN),
+    )
+
+
+def add_train_args(p: argparse.ArgumentParser):
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--decay_step", type=int, default=300 * 512)
+    p.add_argument("--decay_rate", type=float, default=0.5)
+    p.add_argument("--optimizer", default="adam", choices=["adam", "momentum"])
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--max_epoch", type=int, default=201)
+    p.add_argument("--add_noise", type=float, default=0.0)
+    p.add_argument("--no_augment", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="devices on the data mesh axis (0 = all)")
+
+
+def train_config_from_args(a) -> TrainConfig:
+    return TrainConfig(
+        batch_size=a.batch_size,
+        learning_rate=a.learning_rate,
+        decay_step=a.decay_step,
+        decay_rate=a.decay_rate,
+        optimizer=a.optimizer,
+        momentum=a.momentum,
+        weight_decay=a.weight_decay,
+        max_epoch=a.max_epoch,
+        add_noise=a.add_noise,
+        augment=not a.no_augment,
+        seed=a.seed,
+    )
+
+
+def mesh_from_args(a):
+    n = a.data_parallel if a.data_parallel > 0 else len(jax.devices())
+    return make_mesh(data=n)

@@ -1,0 +1,53 @@
+"""Registration evaluation (reference: results_itrPCRNet_no_stop.py).
+
+Fixed-iteration refinement without early stop; writes the report JSON,
+per-case CSV, and per-iteration error curves.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", required=True, help="PCRNetTrainer checkpoint base path")
+    p.add_argument("--iterations", type=int, default=50)
+    p.add_argument("--num_cases", type=int, default=512)
+    p.add_argument("--num_point", type=int, default=1024)
+    p.add_argument("--families", nargs="+", default=["chair"])
+    p.add_argument("--n_templates", type=int, default=16)
+    p.add_argument("--max_rotate_deg", type=float, default=45.0)
+    p.add_argument("--templates_h5", default=None)
+    p.add_argument("--report_dir", default="runs/registration_eval")
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args(argv)
+
+    from dpdist_tpu.configs import PCRNetConfig
+    from dpdist_tpu.data.registration import RegistrationDataset
+    from dpdist_tpu.eval.registration import evaluate_registration
+    from dpdist_tpu.models import init_pcrnet
+    from dpdist_tpu.train.checkpoint import restore_checkpoint
+
+    with open(a.ckpt + ".json") as f:
+        meta = json.load(f)["metadata"]
+    pcfg = PCRNetConfig.from_json(meta["pcrnet_config"])
+    template_params, _ = init_pcrnet(jax.random.PRNGKey(0), pcfg)
+    tree, _, _ = restore_checkpoint(a.ckpt, {"params": template_params})
+
+    ds = RegistrationDataset(h5_path=a.templates_h5, families=tuple(a.families),
+                             n_templates=a.n_templates, num_point=pcfg.num_point,
+                             max_rotate_deg=a.max_rotate_deg, seed=a.seed)
+    report = evaluate_registration(tree["params"], pcfg, ds,
+                                   num_cases=a.num_cases,
+                                   iterations=a.iterations,
+                                   report_dir=a.report_dir)
+    print(json.dumps({k: v for k, v in report.items()
+                      if not k.startswith("curve_")}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

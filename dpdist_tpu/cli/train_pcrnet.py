@@ -1,0 +1,64 @@
+"""Train iterative PCRNet (reference: iterative_PCRNet{_ours}.py).
+
+--loss_type dpdist reproduces iterative_PCRNet_ours.py (frozen DPDist
+loss); chamfer/emd reproduce the iterative_PCRNet.py baselines.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from dpdist_tpu.cli.common import add_train_args, train_config_from_args, mesh_from_args
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_train_args(p)
+    p.add_argument("--loss_type", default="dpdist",
+                   choices=["dpdist", "chamfer", "emd"])
+    p.add_argument("--dpdist_ckpt", default=None)
+    p.add_argument("--num_point", type=int, default=1024)
+    p.add_argument("--max_loops", type=int, default=8)
+    p.add_argument("--out_features", type=int, default=1024)
+    p.add_argument("--families", nargs="+", default=["chair"])
+    p.add_argument("--n_templates", type=int, default=16)
+    p.add_argument("--max_rotate_deg", type=float, default=45.0)
+    p.add_argument("--log_dir", default="runs/pcrnet")
+    p.add_argument("--batches_per_epoch", type=int, default=32)
+    p.add_argument("--s_rand_points", type=float, default=0.0)
+    p.add_argument("--noise_prob", type=float, default=0.0)
+    p.add_argument("--templates_h5", default=None)
+    a = p.parse_args(argv)
+
+    from dpdist_tpu.configs import PCRNetConfig
+    from dpdist_tpu.data.registration import RegistrationDataset
+    from dpdist_tpu.train.pcrnet_trainer import PCRNetTrainer
+
+    dpdist = None
+    if a.loss_type == "dpdist":
+        if not a.dpdist_ckpt:
+            raise SystemExit("--loss_type dpdist requires --dpdist_ckpt")
+        from dpdist_tpu.cli.train_aue import load_dpdist_checkpoint
+
+        dpdist = load_dpdist_checkpoint(a.dpdist_ckpt)
+
+    pcfg = PCRNetConfig(num_point=a.num_point, max_loops=a.max_loops,
+                        out_features=a.out_features)
+    tcfg = train_config_from_args(a)
+
+    trainer = PCRNetTrainer(pcfg, tcfg, loss_type=a.loss_type, dpdist=dpdist,
+                            run_dir=a.log_dir, mesh=mesh_from_args(a))
+    ds = RegistrationDataset(h5_path=a.templates_h5, families=tuple(a.families),
+                             n_templates=a.n_templates, num_point=a.num_point,
+                             max_rotate_deg=a.max_rotate_deg, seed=a.seed)
+    for epoch in range(tcfg.max_epoch):
+        trainer.train_epoch(ds, epoch, batches_per_epoch=a.batches_per_epoch,
+                            random_points_prob=a.s_rand_points,
+                            noise_prob=a.noise_prob)
+        if epoch % 10 == 0:
+            trainer.save(tag="best")
+    trainer.save(tag="final")
+
+
+if __name__ == "__main__":
+    main()

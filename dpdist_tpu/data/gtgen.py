@@ -46,7 +46,20 @@ def _min_dist_tile(query, dense):
 
 def min_distances(query: np.ndarray, dense: np.ndarray,
                   tile: int = 8192) -> np.ndarray:
-    """Min euclidean distance from each query point to the dense cloud."""
+    """Min euclidean distance from each query point to the dense cloud.
+
+    Small problems run as one host matmul (device dispatch latency would
+    dominate); large ones tile through the accelerator.
+    """
+    if len(query) * len(dense) <= 2 * 10 ** 8:
+        q = query.astype(np.float32)
+        d = dense.astype(np.float32)
+        sq = (
+            np.sum(q * q, 1)[:, None]
+            + np.sum(d * d, 1)[None, :]
+            - 2.0 * (q @ d.T)
+        )
+        return np.sqrt(np.maximum(sq.min(1), 0.0)).astype(np.float32)
     out = np.empty(len(query), np.float32)
     dense_j = jnp.asarray(dense.astype(np.float32))
     for s in range(0, len(query), tile):

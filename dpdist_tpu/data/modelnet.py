@@ -29,7 +29,9 @@ class SurfacePairDataset:
     def __init__(self, root: str, *, batch_size: int = 16, npoints: int = 64,
                  split: str = "train", class_choice: Optional[Sequence[str]] = None,
                  shuffle: Optional[bool] = None, cache_size: int = 15000,
-                 num_neg_points: int = 10 ** 4, seed: int = 0):
+                 num_neg_points: Optional[int] = None, seed: int = 0):
+        """num_neg_points: size of the near/far files; auto-detected from
+        the first model's files when None (the reference hardcodes 10^4)."""
         assert split in ("train", "test")
         self.root = root
         self.batch_size = batch_size
@@ -55,6 +57,19 @@ class SurfacePairDataset:
         self.datapath = [
             (names[i], os.path.join(root, names[i], kept[i])) for i in range(len(kept))
         ]
+        if num_neg_points is None and self.datapath:
+            import glob as _glob
+            import re as _re
+
+            base = self.datapath[0][1]
+            hits = _glob.glob(base + "_*_dist_c_neg_l.txt")
+            if not hits:
+                raise FileNotFoundError(
+                    f"no GT-distance files next to {base}; run gen_data first"
+                )
+            num_neg_points = int(_re.search(r"_(\d+)_dist_c_neg_l",
+                                            hits[0]).group(1))
+        self.num_neg_points = num_neg_points
         self.cache: dict = {}
         self.cache_size = cache_size
         self.shuffle = (split == "train") if shuffle is None else shuffle

@@ -1,0 +1,140 @@
+"""Registration data: templates + random poses.
+
+Reference: pcrnet-registration/helper.py (templates h5 IO :46-136, pose
+generators :274-291), utils/create_dataset/generate_poses_ours.py (±45°
+rotation, ±0.01 translation, 5070 poses) and the training-time source
+synthesis in iterative_PCRNet_ours.py:380-408 (apply pose -> centroid
+subtract -> optional random-point selection / noise / occlusions).
+
+Templates come from an h5 file ('templates' dataset, B x N x 3) when
+available, else from the synthetic surface family.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from dpdist_tpu.data import augment  # noqa: F401  (kept for parity users)
+from dpdist_tpu.data.synthetic import synthetic_surface
+
+
+def generate_poses(num_poses: int, *, max_rotate_deg: float = 45.0,
+                   t_clip: float = 0.01, gaussian: bool = False,
+                   rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """(num_poses, 6) poses: translation + euler radians.
+
+    Matches generate_poses_ours.py:4-21 (uniform in ±t_clip / ±max_deg).
+    """
+    rng = rng or np.random.default_rng(0)
+    if gaussian:
+        t = rng.standard_normal((num_poses, 3)) * t_clip / 3.0
+        d = rng.standard_normal((num_poses, 3)) * max_rotate_deg / 3.0 * np.pi / 180
+    else:
+        t = rng.uniform(-t_clip, t_clip, (num_poses, 3))
+        d = rng.uniform(-max_rotate_deg, max_rotate_deg, (num_poses, 3)) * np.pi / 180
+    return np.concatenate([t, d], 1).astype(np.float32)
+
+
+def apply_pose6_np(points: np.ndarray, pose6: np.ndarray) -> np.ndarray:
+    """Batched numpy twin of geometry.apply_pose6 (Rz then Ry then Rx + t),
+    bit-matching helper.apply_transformation (helper.py:229-258)."""
+    out = np.empty_like(points, dtype=np.float32)
+    for i in range(points.shape[0]):
+        rx, ry, rz = pose6[i, 3], pose6[i, 4], pose6[i, 5]
+        Rx = np.array([[1, 0, 0], [0, np.cos(rx), -np.sin(rx)], [0, np.sin(rx), np.cos(rx)]])
+        Ry = np.array([[np.cos(ry), 0, np.sin(ry)], [0, 1, 0], [-np.sin(ry), 0, np.cos(ry)]])
+        Rz = np.array([[np.cos(rz), -np.sin(rz), 0], [np.sin(rz), np.cos(rz), 0], [0, 0, 1]])
+        out[i] = (Rx @ Ry @ Rz @ points[i].T).T + pose6[i, :3]
+    return out
+
+
+def add_noise_np(source: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Per-point gaussian noise with random per-point sigma in [0, 0.04)
+    (helper.add_noise, helper.py:464-470)."""
+    out = source.copy()
+    for i in range(out.shape[0]):
+        sigma = 0.04 * rng.uniform(size=(out.shape[1], 1))
+        out[i] += sigma * rng.standard_normal(out[i].shape)
+    return out.astype(np.float32)
+
+
+def add_occlusions_np(source: np.ndarray, fraction: float,
+                      rng: np.random.Generator) -> np.ndarray:
+    """Remove a kNN ball around a random point, refill by resampling kept
+    points (helper.add_occlusions, helper.py:963-982 semantics: the cloud
+    keeps its size)."""
+    B, N, _ = source.shape
+    n_drop = int(N * fraction)
+    if n_drop == 0:
+        return source
+    out = np.empty_like(source)
+    for i in range(B):
+        c = source[i, rng.integers(N)]
+        d = np.linalg.norm(source[i] - c, axis=1)
+        keep = np.argsort(d)[n_drop:]
+        refill = rng.choice(keep, size=N, replace=True)
+        refill[: len(keep)] = keep
+        out[i] = source[i, refill]
+    return out
+
+
+class RegistrationDataset:
+    """Template library + pose sampler producing (template, source, gt_pose)."""
+
+    def __init__(self, *, templates: Optional[np.ndarray] = None,
+                 h5_path: Optional[str] = None,
+                 families: Sequence[str] = ("chair",),
+                 n_templates: int = 16, num_point: int = 1024,
+                 max_rotate_deg: float = 45.0, t_clip: float = 0.01,
+                 seed: int = 0):
+        self.rng = np.random.default_rng(seed)
+        self.num_point = num_point
+        self.max_rotate_deg = max_rotate_deg
+        self.t_clip = t_clip
+        if templates is not None:
+            self.templates = templates.astype(np.float32)
+        elif h5_path is not None:
+            import h5py
+
+            with h5py.File(h5_path, "r") as f:
+                self.templates = np.asarray(f["templates"]).astype(np.float32)
+        else:
+            self.templates = np.stack([
+                synthetic_surface(families[i % len(families)], seed=seed + i,
+                                  n_points=max(num_point, 2048))
+                for i in range(n_templates)
+            ])
+        assert self.templates.shape[1] >= num_point
+
+    def sample_batch(self, batch_size: int, *, random_points_prob: float = 0.0,
+                     noise_prob: float = 0.0, occlusion_fraction: float = 0.0):
+        """Training-batch synthesis (iterative_PCRNet_ours.py:380-408)."""
+        idx = self.rng.integers(0, len(self.templates), batch_size)
+        template = self.templates[idx]
+        pose6 = generate_poses(batch_size, max_rotate_deg=self.max_rotate_deg,
+                               t_clip=self.t_clip, rng=self.rng)
+        source = apply_pose6_np(template, pose6)
+        # Centroid subtraction (iterative_PCRNet_ours.py:385; the evaluator
+        # corrects the GT translation by the recorded centroid,
+        # results_itrPCRNet_no_stop.py:300-309). Translation is applied
+        # last in pose6, so folding the shift into gt is exact.
+        c = source.mean(1, keepdims=True)
+        source = source - c
+        pose6 = pose6.copy()
+        pose6[:, :3] -= c[:, 0, :]
+
+        N = self.num_point
+        if self.rng.uniform() < random_points_prob:
+            pt = self.rng.permutation(template.shape[1])[:N]
+            ps = self.rng.permutation(source.shape[1])[:N]
+            template_n, source_n = template[:, pt], source[:, ps]
+        else:
+            template_n, source_n = template[:, :N], source[:, :N]
+        if self.rng.uniform() < noise_prob:
+            source_n = add_noise_np(source_n, self.rng)
+        if occlusion_fraction > 0:
+            source_n = add_occlusions_np(source_n, occlusion_fraction, self.rng)
+        return (template_n.astype(np.float32), source_n.astype(np.float32),
+                pose6)

@@ -1,0 +1,141 @@
+"""Registration evaluation harness.
+
+Reference: results_itrPCRNet_no_stop.py — batch-1, fixed 50 refinement
+iterations without early stop, per-iteration translation / rotation /
+convergence error curves (:256-378), accuracy buckets at
+(2.5°, 0.05), (5°, 0.05), (10°, 0.1), (20°, 0.2) (:394-401), CSV/txt
+reports (helper.log_test_results, helper.py:771-923).
+
+TPU-first: the per-iteration loop is a lax.scan (models/pcrnet.pcrnet_refine)
+and the WHOLE eval batch runs at once — the reference's batch-1 host loop
+becomes one device program; per-iteration transforms come back stacked for
+the error curves.
+
+Error definition parity (find_errors :112-133): the network aligns
+source -> template while the GT pose maps template -> source, so the
+predicted pose is the INVERSE of the accumulated transform
+(find_final_pose_inv, helper.py:347-361); rotation error is the axis-angle
+geodesic distance in degrees and translation error the L2 distance.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dpdist_tpu.configs import PCRNetConfig
+from dpdist_tpu.geometry.se3 import (
+    pose6_to_matrix,
+    pose7_to_matrix,
+    invert_transform,
+    compose_transforms,
+    transform_errors,
+    convergence_measure,
+)
+from dpdist_tpu.models.pcrnet import pcrnet_refine
+
+ACCURACY_BUCKETS = ((2.5, 0.05), (5.0, 0.05), (10.0, 0.1), (20.0, 0.2))
+
+
+def accuracy_buckets(rot_err_deg: np.ndarray, trans_err: np.ndarray):
+    """Fraction of cases within each (rot°, trans) tolerance pair."""
+    out = {}
+    for r, t in ACCURACY_BUCKETS:
+        ok = (rot_err_deg < r) & (trans_err < t)
+        out[f"acc_rot{r}_trans{t}"] = float(np.mean(ok))
+    return out
+
+
+def _eval_program(params, cfg: PCRNetConfig, template, source, gt_pose6,
+                  iterations: int):
+    """Per-iteration error curves, all on device."""
+    _, _, poses = pcrnet_refine(params, cfg, source, template,
+                                iterations=iterations,
+                                stop_gradient_iters=False)
+    B = template.shape[0]
+    T_gt = pose6_to_matrix(gt_pose6)
+    T0 = jnp.broadcast_to(jnp.eye(4, dtype=template.dtype), (B, 4, 4))
+
+    def accumulate(T_prev, pose7):
+        T = compose_transforms(pose7_to_matrix(pose7), T_prev)
+        te, re = transform_errors(invert_transform(T), T_gt)
+        ce = convergence_measure(T, T_prev)
+        return T, (te, re, ce)
+
+    T_final, (te, re, ce) = jax.lax.scan(accumulate, T0, poses)
+    return T_final, te, re, ce  # curves: (iterations, B)
+
+
+def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
+                          num_cases: int = 64, iterations: Optional[int] = None,
+                          batch_size: int = 64, report_dir: Optional[str] = None,
+                          seed: int = 0):
+    """Run the fixed-iteration protocol and produce the reference's report.
+
+    Returns a dict with final mean/var errors, accuracy buckets, timing,
+    and the per-iteration mean error curves.
+    """
+    iterations = iterations or cfg.eval_iterations
+    program = jax.jit(_eval_program, static_argnames=("cfg", "iterations"))
+
+    all_te, all_re, all_ce = [], [], []
+    t0 = time.perf_counter()
+    n_done = 0
+    while n_done < num_cases:
+        b = min(batch_size, num_cases - n_done)
+        template, source, gt = dataset.sample_batch(b)
+        _, te, re, ce = program(params, cfg, jnp.asarray(template),
+                                jnp.asarray(source), jnp.asarray(gt),
+                                iterations)
+        all_te.append(np.asarray(te))
+        all_re.append(np.asarray(re))
+        all_ce.append(np.asarray(ce))
+        n_done += b
+    elapsed = time.perf_counter() - t0
+
+    te = np.concatenate(all_te, axis=1)   # (iterations, num_cases)
+    re = np.concatenate(all_re, axis=1)
+    ce = np.concatenate(all_ce, axis=1)
+    final_te, final_re = te[-1], re[-1]
+
+    report = {
+        "num_cases": int(n_done),
+        "iterations": int(iterations),
+        "rot_err_mean_deg": float(final_re.mean()),
+        "rot_err_var": float(final_re.var()),
+        "trans_err_mean": float(final_te.mean()),
+        "trans_err_var": float(final_te.var()),
+        "time_total_s": elapsed,
+        "time_per_case_s": elapsed / n_done,
+        **accuracy_buckets(final_re, final_te),
+        "curve_rot_err_mean": re.mean(1).tolist(),
+        "curve_trans_err_mean": te.mean(1).tolist(),
+        "curve_convergence_mean": ce.mean(1).tolist(),
+    }
+
+    if report_dir:
+        os.makedirs(report_dir, exist_ok=True)
+        with open(os.path.join(report_dir, "registration_report.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        with open(os.path.join(report_dir, "per_case_errors.csv"), "w",
+                  newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["case", "rot_err_deg", "trans_err"])
+            for i, (r, t) in enumerate(zip(final_re, final_te)):
+                w.writerow([i, float(r), float(t)])
+        with open(os.path.join(report_dir, "iteration_curves.csv"), "w",
+                  newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["iteration", "rot_err_mean_deg", "trans_err_mean",
+                        "convergence_mean"])
+            for i in range(iterations):
+                w.writerow([i, float(re[i].mean()), float(te[i].mean()),
+                            float(ce[i].mean())])
+    return report

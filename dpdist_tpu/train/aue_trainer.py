@@ -1,0 +1,147 @@
+"""Autoencoder task trainer with a frozen DPDist loss.
+
+Reference phases 2+3 (train_multi_gpu_pc_compare_dist.py:358-515):
+phase 2 builds the AUE and saves it; phase 3 splices the frozen DPDist
+graph on top and trains ONLY the AUE with either the DPDist prediction
+loss or chamfer. Here the splice is plain function composition:
+
+    loss = dpdist_frozen(aue(params, x1), x2)        # opt_type='ours'
+    loss = chamfer(x1, aue(params, x1), sqrt=False)  # opt_type='chamfer'
+
+with x1, x2 two same-surface samples (the surface block halved,
+train_one_epoch_3d_block_modelnet:543-547). Gradients flow through the
+frozen DPDist network (inference mode) into the AUE only.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dpdist_tpu.configs import AUEConfig, DPDistConfig, TrainConfig
+from dpdist_tpu.losses import make_frozen_dpdist_loss
+from dpdist_tpu.models import init_aue, apply_aue
+from dpdist_tpu.ops.chamfer import chamfer_distance
+from dpdist_tpu.parallel import make_mesh, replicate, shard_batch, build_sharded_train_step
+from dpdist_tpu.train.checkpoint import save_checkpoint, restore_checkpoint
+from dpdist_tpu.train.logging import RunLogger
+from dpdist_tpu.train.optim import make_optimizer
+
+
+def split_same_surface(batch_data: np.ndarray):
+    """(B, 3*2N, 3) dataset batch -> x1, x2: two N-point same-surface samples."""
+    B, total, _ = batch_data.shape
+    n2 = total // 3
+    N = n2 // 2
+    surface = batch_data[:, :n2]
+    return (surface[:, :N].astype(np.float32),
+            surface[:, N:2 * N].astype(np.float32))
+
+
+class AUETrainer:
+    def __init__(self, aue_cfg: AUEConfig, train_cfg: TrainConfig,
+                 dpdist_cfg: DPDistConfig, dpdist_params, dpdist_state,
+                 *, opt_type: str = "ours", run_dir: str = "runs/aue",
+                 mesh=None, logger: Optional[RunLogger] = None):
+        assert opt_type in ("ours", "chamfer")
+        self.acfg = aue_cfg
+        self.tcfg = train_cfg
+        self.opt_type = opt_type
+        self.run_dir = run_dir
+        self.mesh = mesh if mesh is not None else make_mesh(data=1)
+        self.logger = logger or RunLogger(run_dir, config_json=aue_cfg.to_json(),
+                                          name=f"train_aue_{opt_type}")
+
+        key = jax.random.PRNGKey(train_cfg.seed)
+        params, state = init_aue(key, aue_cfg)
+        self.params = replicate(params, self.mesh)
+        self.state = replicate(state, self.mesh)
+        self.optimizer = make_optimizer(train_cfg, base_lr=train_cfg.learning_rate)
+
+        dpdist_loss = make_frozen_dpdist_loss(dpdist_params, dpdist_state, dpdist_cfg)
+        acfg = aue_cfg
+
+        def loss_fn(p, s, batch):
+            x1, x2 = batch["x1"], batch["x2"]
+            rec, new_state = apply_aue(p, s, acfg, x1, train=True)
+            if opt_type == "ours":
+                loss = dpdist_loss(rec, x2)
+            else:
+                # squared chamfer, matching chmafer_dist (:912-916)
+                loss = chamfer_distance(x1, rec, sqrt=False)
+            return loss, new_state
+
+        init_opt, self._step = build_sharded_train_step(loss_fn, self.optimizer,
+                                                        self.mesh)
+        self.opt_state = init_opt(params)
+        self.global_step = 0
+
+        # Monitoring: both losses regardless of which one trains
+        # (reference logs DPDist + Chamfer scalars, :466-469).
+        def monitor(p, s, x1, x2):
+            rec, _ = apply_aue(p, s, acfg, x1, train=False)
+            return dpdist_loss(rec, x2), chamfer_distance(x1, rec, sqrt=False)
+
+        self._monitor = jax.jit(monitor)
+
+    def reconstruct(self, points):
+        rec, _ = jax.jit(
+            lambda p, s, x: apply_aue(p, s, self.acfg, x, train=False)
+        )(self.params, self.state, jnp.asarray(points))
+        return np.asarray(rec)
+
+    def train_step(self, batch_data: np.ndarray):
+        x1, x2 = split_same_surface(batch_data)
+        batch = shard_batch({"x1": x1, "x2": x2}, self.mesh)
+        self.params, self.state, self.opt_state, metrics = self._step(
+            self.params, self.state, self.opt_state, batch
+        )
+        self.global_step += 1
+        return metrics
+
+    def train_epoch(self, dataset, epoch: int):
+        losses, closses = [], []
+        dataset.reset()
+        while dataset.has_next_batch():
+            bd, _ = dataset.next_batch(augment=False)
+            if bd.shape[0] < self.tcfg.batch_size:
+                continue
+            m = self.train_step(bd)
+            losses.append(float(m["loss"]))
+        # monitored pair losses on the last batch
+        if losses:
+            x1, x2 = split_same_surface(bd)
+            dp, ch = self._monitor(self.params, self.state,
+                                   jnp.asarray(x1), jnp.asarray(x2))
+            closses = [float(ch)]
+            self.logger.log(
+                f" ---- epoch: {epoch + 1:03d} ---- DPDist mean loss: "
+                f"{float(dp):f} chamf mean loss: {float(ch):f}"
+            )
+            self.logger.metrics(self.global_step, epoch=epoch,
+                                train_loss=float(np.mean(losses)),
+                                dpdist_loss=float(dp), chamfer_loss=float(ch))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def save(self, tag):
+        path = os.path.join(self.run_dir, f"aue_ckpt_{tag}")
+        save_checkpoint(path, {"params": self.params, "state": self.state},
+                        step=self.global_step,
+                        metadata={"aue_config": self.acfg.to_json(),
+                                  "opt_type": self.opt_type})
+        self.logger.log(f"checkpoint saved: {path}")
+        return path
+
+    def restore(self, path):
+        tree, step, _ = restore_checkpoint(
+            path, {"params": jax.device_get(self.params),
+                   "state": jax.device_get(self.state)}
+        )
+        self.params = replicate(tree["params"], self.mesh)
+        self.state = replicate(tree["state"], self.mesh)
+        if step:
+            self.global_step = step

@@ -1,0 +1,134 @@
+"""Iterative PCRNet trainer — fully on-device refinement.
+
+Reference: iterative_PCRNet.py (chamfer/EMD supervised) and
+iterative_PCRNet_ours.py (frozen DPDist loss). The reference runs
+MAX_LOOPS-1 host-side inference iterations per batch (sess.run + numpy
+transform per loop, :414-468) and trains on the final iteration. Here the
+whole refinement loop is a lax.scan inside ONE jitted SPMD step — the
+host/device ping-pong (SURVEY §3.3) is gone.
+
+Loss options (matching the reference experiment matrix,
+run_train_and_eval_PCRNet.bash:65-74):
+  'dpdist'  : frozen DPDist(transformed_source, template)
+  'chamfer' : chamfer(template, transformed_source)
+  'emd'     : Sinkhorn EMD(template, transformed_source)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dpdist_tpu.configs import DPDistConfig, PCRNetConfig, TrainConfig
+from dpdist_tpu.losses import make_frozen_dpdist_loss
+from dpdist_tpu.models import init_pcrnet
+from dpdist_tpu.models.pcrnet import pcrnet_refine
+from dpdist_tpu.ops.chamfer import chamfer_distance
+from dpdist_tpu.ops.emd import earth_mover_distance
+from dpdist_tpu.parallel import make_mesh, replicate, shard_batch, build_sharded_train_step
+from dpdist_tpu.train.checkpoint import save_checkpoint, restore_checkpoint
+from dpdist_tpu.train.logging import RunLogger
+from dpdist_tpu.train.optim import make_optimizer
+
+
+class PCRNetTrainer:
+    def __init__(self, pcfg: PCRNetConfig, tcfg: TrainConfig, *,
+                 loss_type: str = "chamfer",
+                 dpdist: Optional[tuple] = None,  # (cfg, params, state)
+                 run_dir: str = "runs/pcrnet", mesh=None,
+                 logger: Optional[RunLogger] = None):
+        assert loss_type in ("dpdist", "chamfer", "emd")
+        if loss_type == "dpdist" and dpdist is None:
+            raise ValueError("loss_type='dpdist' needs dpdist=(cfg, params, state)")
+        self.pcfg = pcfg
+        self.tcfg = tcfg
+        self.loss_type = loss_type
+        self.run_dir = run_dir
+        self.mesh = mesh if mesh is not None else make_mesh(data=1)
+        self.logger = logger or RunLogger(run_dir, config_json=pcfg.to_json(),
+                                          name=f"train_pcrnet_{loss_type}")
+
+        key = jax.random.PRNGKey(tcfg.seed)
+        params, _ = init_pcrnet(key, pcfg)
+        self.params = replicate(params, self.mesh)
+        self.optimizer = make_optimizer(tcfg, base_lr=tcfg.learning_rate)
+
+        if loss_type == "dpdist":
+            dcfg, dparams, dstate = dpdist
+            dp_loss = make_frozen_dpdist_loss(dparams, dstate, dcfg)
+
+        cfg = pcfg
+
+        def loss_fn(p, s, batch):
+            template, source = batch["template"], batch["source"]
+            src_out, T, _ = pcrnet_refine(p, cfg, source, template,
+                                          iterations=cfg.max_loops,
+                                          stop_gradient_iters=True)
+            if loss_type == "dpdist":
+                loss = dp_loss(src_out, template)
+            elif loss_type == "chamfer":
+                loss = chamfer_distance(template, src_out, sqrt=True)
+            else:
+                loss = earth_mover_distance(template, src_out)
+            return loss, s
+
+        init_opt, self._step = build_sharded_train_step(loss_fn, self.optimizer,
+                                                        self.mesh)
+        self.opt_state = init_opt(params)
+        self.global_step = 0
+
+        # chamfer is always logged for comparison (ours trainer logs it too,
+        # iterative_PCRNet_ours.py:253).
+        def monitor(p, template, source):
+            src_out, T, _ = pcrnet_refine(p, cfg, source, template,
+                                          iterations=cfg.max_loops)
+            return chamfer_distance(template, src_out, sqrt=True)
+
+        self._monitor = jax.jit(monitor)
+
+    def train_step(self, template: np.ndarray, source: np.ndarray):
+        batch = shard_batch({"template": template, "source": source}, self.mesh)
+        self.params, _, self.opt_state, metrics = self._step(
+            self.params, {}, self.opt_state, batch
+        )
+        self.global_step += 1
+        return metrics
+
+    def train_epoch(self, dataset, epoch: int, *, batches_per_epoch: int = 32,
+                    random_points_prob: float = 0.0, noise_prob: float = 0.0):
+        losses = []
+        for _ in range(batches_per_epoch):
+            template, source, _ = dataset.sample_batch(
+                self.tcfg.batch_size, random_points_prob=random_points_prob,
+                noise_prob=noise_prob,
+            )
+            m = self.train_step(template, source)
+            losses.append(float(m["loss"]))
+        mean_loss = float(np.mean(losses))
+        ch = float(self._monitor(self.params, jnp.asarray(template),
+                                 jnp.asarray(source)))
+        self.logger.log(f" ---- epoch: {epoch + 1:03d} ---- mean loss: "
+                        f"{mean_loss:f} (chamfer {ch:f})")
+        self.logger.metrics(self.global_step, epoch=epoch,
+                            train_loss=mean_loss, chamfer=ch)
+        return mean_loss
+
+    def save(self, tag):
+        path = os.path.join(self.run_dir, f"pcrnet_ckpt_{tag}")
+        save_checkpoint(path, {"params": self.params}, step=self.global_step,
+                        metadata={"pcrnet_config": self.pcfg.to_json(),
+                                  "loss_type": self.loss_type})
+        self.logger.log(f"checkpoint saved: {path}")
+        return path
+
+    def restore(self, path):
+        tree, step, _ = restore_checkpoint(
+            path, {"params": jax.device_get(self.params)}
+        )
+        self.params = replicate(tree["params"], self.mesh)
+        if step:
+            self.global_step = step

@@ -121,8 +121,10 @@ class DPDistTrainer:
         dataset.reset()
         while dataset.has_next_batch():
             bd, bl = dataset.next_batch(augment=False)
-            if bd.shape[0] < dataset.batch_size:
-                continue  # drop only the ragged tail (avoids a recompile)
+            if bd.shape[0] == 0:
+                continue
+            # Ragged batches are fine here: eval jits per shape and a test
+            # split has at most two distinct batch shapes.
             pcA, pcB, labels = assemble_dpdist_batch(bd, bl)
             losses.append(float(eval_loss(self.params, state, pcA, pcB, labels)))
         mean_loss = float(np.mean(losses)) if losses else float("nan")

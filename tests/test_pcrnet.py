@@ -1,0 +1,131 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dpdist_tpu.configs import PCRNetConfig, TrainConfig, DPDistConfig
+from dpdist_tpu.data.registration import (
+    RegistrationDataset,
+    generate_poses,
+    apply_pose6_np,
+    add_occlusions_np,
+)
+from dpdist_tpu.eval.registration import evaluate_registration, accuracy_buckets
+from dpdist_tpu.geometry.se3 import pose6_to_matrix, invert_transform, transform_errors
+from dpdist_tpu.models import init_pcrnet, apply_pcrnet, init_dpdist
+from dpdist_tpu.models.pcrnet import pcrnet_refine
+from dpdist_tpu.train.pcrnet_trainer import PCRNetTrainer
+
+PCFG = PCRNetConfig(num_point=64, out_features=128, max_loops=3,
+                    eval_iterations=5)
+
+
+def test_generate_poses_ranges(rng):
+    poses = generate_poses(100, max_rotate_deg=45, t_clip=0.01,
+                           rng=np.random.default_rng(0))
+    assert poses.shape == (100, 6)
+    assert np.abs(poses[:, :3]).max() <= 0.01
+    assert np.abs(poses[:, 3:]).max() <= np.deg2rad(45) + 1e-6
+
+
+def test_apply_pose6_np_matches_jax(rng):
+    from dpdist_tpu.geometry.se3 import apply_pose6
+    pts = rng.normal(size=(3, 32, 3)).astype(np.float32)
+    poses = generate_poses(3, rng=np.random.default_rng(1))
+    got = apply_pose6_np(pts, poses)
+    want = np.asarray(apply_pose6(jnp.asarray(pts), jnp.asarray(poses)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_registration_dataset_gt_consistency():
+    ds = RegistrationDataset(n_templates=4, num_point=64, seed=0)
+    template, source, gt = ds.sample_batch(4)
+    assert template.shape == (4, 64, 3) and source.shape == (4, 64, 3)
+    # applying the (centroid-adjusted) gt pose to the template must give
+    # the source exactly
+    rebuilt = apply_pose6_np(
+        np.asarray(ds.templates[:0]), np.zeros((0, 6))
+    )  # noop shape check
+    T_gt = np.asarray(pose6_to_matrix(jnp.asarray(gt)))
+    R = T_gt[:, :3, :3]
+    t = T_gt[:, :3, 3]
+    # source was built from the FULL template then truncated to num_point
+    # with identical ordering (no random points), so compare directly
+    full = ds.templates[:, :, :]
+    # recompute: source rows correspond to template rows
+    src2 = np.einsum("bij,bnj->bni", R, template) + t[:, None, :]
+    np.testing.assert_allclose(src2, source, atol=1e-4)
+
+
+def test_occlusions_keep_shape(rng):
+    src = rng.normal(size=(2, 64, 3)).astype(np.float32)
+    out = add_occlusions_np(src, 0.25, np.random.default_rng(0))
+    assert out.shape == src.shape
+
+
+def test_pcrnet_forward_and_refine(rng):
+    params, _ = init_pcrnet(jax.random.PRNGKey(0), PCFG)
+    t = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
+    pose = apply_pcrnet(params, PCFG, s, t)
+    assert pose.shape == (2, 7)
+    src_out, T, poses = pcrnet_refine(params, PCFG, s, t, iterations=3)
+    assert src_out.shape == s.shape
+    assert T.shape == (2, 4, 4)
+    assert poses.shape == (3, 2, 7)
+    # T is rigid: R orthonormal
+    R = np.asarray(T)[:, :3, :3]
+    np.testing.assert_allclose(R @ np.swapaxes(R, 1, 2),
+                               np.tile(np.eye(3), (2, 1, 1)), atol=1e-4)
+
+
+def test_pcrnet_training_improves_small_pose_alignment(tmp_path):
+    """Short chamfer-supervised training on tiny poses must reduce loss."""
+    ds = RegistrationDataset(n_templates=4, num_point=64,
+                             max_rotate_deg=10, seed=0)
+    tcfg = TrainConfig(batch_size=8, learning_rate=1e-3, log_every=1000)
+    tr = PCRNetTrainer(PCFG, tcfg, loss_type="chamfer",
+                       run_dir=str(tmp_path / "pcr"))
+    template, source, _ = ds.sample_batch(8)
+    losses = [float(tr.train_step(template, source)["loss"]) for _ in range(30)]
+    assert all(np.isfinite(l) for l in losses)
+    assert min(losses[-5:]) < losses[0], losses[:3] + losses[-3:]
+
+
+def test_pcrnet_dpdist_loss_variant(tmp_path):
+    dcfg = DPDistConfig(num_point=64, embedding_size=64, k=3, mlp=(32, 32, 32))
+    dparams, dstate = init_dpdist(jax.random.PRNGKey(1), dcfg)
+    ds = RegistrationDataset(n_templates=2, num_point=64, seed=0)
+    tcfg = TrainConfig(batch_size=4, learning_rate=1e-4, log_every=1000)
+    tr = PCRNetTrainer(PCFG, tcfg, loss_type="dpdist",
+                       dpdist=(dcfg, dparams, dstate),
+                       run_dir=str(tmp_path / "pcrd"))
+    template, source, _ = ds.sample_batch(4)
+    m = tr.train_step(template, source)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_evaluate_registration_report(tmp_path):
+    params, _ = init_pcrnet(jax.random.PRNGKey(0), PCFG)
+    ds = RegistrationDataset(n_templates=4, num_point=64, seed=0)
+    rep = evaluate_registration(params, PCFG, ds, num_cases=8,
+                                iterations=4, batch_size=8,
+                                report_dir=str(tmp_path / "rep"))
+    assert rep["num_cases"] == 8
+    assert len(rep["curve_rot_err_mean"]) == 4
+    for k in ("acc_rot2.5_trans0.05", "acc_rot20.0_trans0.2"):
+        assert 0.0 <= rep[k] <= 1.0
+    assert (tmp_path / "rep" / "registration_report.json").exists()
+    assert (tmp_path / "rep" / "iteration_curves.csv").exists()
+
+
+def test_identity_refinement_has_zero_error():
+    """If the net predicted identity poses, error == initial pose error."""
+    ds = RegistrationDataset(n_templates=2, num_point=64, seed=0)
+    template, source, gt = ds.sample_batch(2)
+    T_gt = pose6_to_matrix(jnp.asarray(gt))
+    te, re = transform_errors(invert_transform(T_gt), T_gt)
+    # sanity on the metric: inverse-of-gt vs gt is NOT zero unless gt is id
+    te0, re0 = transform_errors(T_gt, T_gt)
+    np.testing.assert_allclose(np.asarray(te0), 0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(re0), 0, atol=5e-2)
