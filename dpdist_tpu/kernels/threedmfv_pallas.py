@@ -1,0 +1,171 @@
+"""Fused Pallas TPU kernel for the 3DmFV encoder (SURVEY N3).
+
+The kernel streams point tiles and accumulates all 20 pooled derivative
+channels in VMEM without materializing the (B, N, G, D) derivative
+tensors in HBM: per tile it computes Gaussian responsibilities
+(softmax over exact VPU squared distances — the MXU's bf16 multiply is
+not accurate enough for logits scaled by 1/(2 sigma^2)), forms the
+d_pi / d_mu / d_sigma terms, and folds them into running sum/max/min
+accumulators. Traffic per cloud: N x 3 in + 20 x G out, independent of N.
+
+The cheap tail (power + L2 normalization over G, transpose to (G, 20))
+runs as ordinary XLA ops on the (B, 20, G) kernel output.
+
+Grid: (B, num_point_tiles); the point-tile axis is minor-most, so TPU's
+sequential grid execution makes the revisited output block a legal
+accumulator (@pl.when(first tile) initializes it).
+
+Reference math: get_3dmfv_tf (utils/dpdist_util.py:22-141); numerics
+match ops.threedmfv.threedmfv (softmax formulation).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dpdist_tpu.ops.threedmfv import threedmfv_grid
+
+_NEG = -3.4e38  # python literals: pallas kernels may not capture arrays
+_POS = 3.4e38
+
+
+def _kernel(points_ref, mu_ref, out_ref, *, G: int, sigma: float,
+            n_real: int, tile: int):
+    t_idx = pl.program_id(1)
+    pts = points_ref[0]                                   # (T, 3)
+    mu = mu_ref[:]                                        # (3, G)
+    w = 1.0 / G
+    sw = np.sqrt(w)
+    sw2 = np.sqrt(2.0 * w)
+
+    # Exact squared distances on the VPU, one dimension at a time.
+    diffs = []
+    d2 = jnp.zeros((tile, G), jnp.float32)
+    for d in range(3):
+        dd = (pts[:, d:d + 1] - mu[d:d + 1, :]) / sigma   # (T, G)
+        diffs.append(dd)
+        d2 = d2 + dd * dd
+    logits = -0.5 * d2
+
+    m = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - m)
+    Q = e / jnp.sum(e, axis=1, keepdims=True)             # (T, G)
+
+    # Mask padding rows (global row index >= n_real).
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, G), 0) + t_idx * tile
+    valid = row < n_real
+    Q = jnp.where(valid, Q, 0.0)
+
+    # d_pi channels: mean, max of (Q - w)/(sqrt(w) N)
+    d_pi = jnp.where(valid, (Q - w) / (sw * n_real), 0.0)
+    pi_sum = jnp.sum(d_pi, axis=0)
+    pi_max = jnp.max(jnp.where(valid, d_pi, _NEG), axis=0)
+
+    mu_t, sig_t = [], []
+    for d in range(3):
+        t = Q * diffs[d]                                   # Q already masked
+        mu_t.append(t)
+        sig_t.append(Q * (diffs[d] * diffs[d] - 1.0))
+
+    # Channel layout of the (20, G) accumulator (contiguous groups):
+    #   0: pi_sum        1: pi_max
+    #   2-4: mu_sum      5-7: mu_max     8-10: mu_min
+    #   11-13: sig_sum   14-16: sig_max  17-19: sig_min
+    def s_of(ts, scale):
+        return jnp.stack([jnp.sum(t, axis=0) / scale for t in ts], 0)
+
+    def mx_of(ts, scale):
+        return jnp.stack(
+            [jnp.max(jnp.where(valid, t, _NEG), axis=0) / scale for t in ts], 0)
+
+    def mn_of(ts, scale):
+        return jnp.stack(
+            [jnp.min(jnp.where(valid, t, _POS), axis=0) / scale for t in ts], 0)
+
+    part = jnp.concatenate([
+        pi_sum[None], pi_max[None],
+        s_of(mu_t, sw), mx_of(mu_t, sw), mn_of(mu_t, sw),
+        s_of(sig_t, sw2), mx_of(sig_t, sw2), mn_of(sig_t, sw2),
+    ], axis=0)                                             # (20, G)
+
+    @pl.when(t_idx == 0)
+    def _():
+        out_ref[0] = part
+
+    @pl.when(t_idx > 0)
+    def _():
+        acc = out_ref[0]
+        p = part
+        merged = jnp.concatenate([
+            acc[0:1] + p[0:1],
+            jnp.maximum(acc[1:2], p[1:2]),
+            acc[2:5] + p[2:5],
+            jnp.maximum(acc[5:8], p[5:8]),
+            jnp.minimum(acc[8:11], p[8:11]),
+            acc[11:14] + p[11:14],
+            jnp.maximum(acc[14:17], p[14:17]),
+            jnp.minimum(acc[17:20], p[17:20]),
+        ], axis=0)
+        out_ref[0] = merged
+
+
+@functools.partial(jax.jit, static_argnames=("n_gaussians", "sigma", "interpret"))
+def threedmfv_pallas(points, n_gaussians: int = 512, sigma: float = 0.125,
+                     *, interpret: bool = False):
+    """Fused 3DmFV: (B, N, 3) -> (B, G, 20). full_fv + normalize only.
+
+    Semantics identical to ops.threedmfv.threedmfv(..., flatten=False,
+    full_fv=True, normalize=True) for 3-D inputs.
+    """
+    B, N, D = points.shape
+    assert D == 3, "pallas kernel is 3-D only; use ops.threedmfv for 2-D"
+    G = n_gaussians
+    mu = np.ascontiguousarray(threedmfv_grid(G, 3).T)      # (3, G)
+
+    # ~15 (tile, G) fp32 intermediates stay live; tile=256, G=512 keeps the
+    # working set ~8 MB, inside the 16 MB VMEM budget.
+    tile = int(min(max(8, -(-N // 8) * 8), 256))
+    n_tiles = -(-N // tile)
+    Np = n_tiles * tile
+    if Np != N:
+        pad = jnp.zeros((B, Np - N, 3), points.dtype)
+        pts = jnp.concatenate([points, pad], axis=1)
+    else:
+        pts = points
+
+    kernel = functools.partial(_kernel, G=G, sigma=float(sigma), n_real=N,
+                               tile=tile)
+    raw = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, 3), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, G), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 20, G), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 20, G), jnp.float32),
+        interpret=interpret,
+    )(pts.astype(jnp.float32), jnp.asarray(mu, jnp.float32))
+
+    # Finalize: means were accumulated as sums; divide, then power + L2
+    # normalize over G and lay out as (B, G, 20).
+    mean_mask = jnp.asarray(
+        [1, 0, 1, 1, 1, 0, 0, 0, 0, 0, 0, 1, 1, 1, 0, 0, 0, 0, 0, 0],
+        jnp.float32,
+    )[None, :, None]
+    fv = raw * jnp.where(mean_mask > 0, 1.0 / N, 1.0)
+
+    eps = 1e-12
+    fv = jnp.sign(fv) * jnp.sqrt(jnp.maximum(jnp.abs(fv), eps))
+    n2 = jnp.sum(fv * fv, axis=2, keepdims=True)
+    fv = fv * jax.lax.rsqrt(jnp.maximum(n2, eps))
+    return jnp.transpose(fv, (0, 2, 1))

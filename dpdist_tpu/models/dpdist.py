@@ -25,7 +25,16 @@ import jax
 import jax.numpy as jnp
 
 from dpdist_tpu.configs import DPDistConfig
-from dpdist_tpu.nn.layers import dense_init, dense_apply, mlp_init, mlp_apply, batchnorm_init, batchnorm_apply
+from dpdist_tpu.nn.layers import (
+    dense_init,
+    dense_apply,
+    mlp_init,
+    mlp_apply,
+    batchnorm_init,
+    batchnorm_apply,
+    conv3d_init,
+    conv3d_apply,
+)
 from dpdist_tpu.ops.threedmfv import threedmfv
 from dpdist_tpu.ops.voxel import voxel_assign, extract_patches, gather_patches
 
@@ -60,6 +69,29 @@ def init_dpdist(key, cfg: DPDistConfig):
         if cfg.use_bn:
             params["pointnet"]["bn"] = bns_p
             state["pointnet"]["bn"] = bns_s
+
+    if cfg.conv_version == 3 and cfg.k > 0:
+        # 3D-CNN decoder over the k^3 patch then FC with the coords
+        # (dpdist_util.py:640-687: conv3d 64 -> resnet3d x2 -> conv3d 16
+        # -> concat delta -> conv mlp[2] -> output). The reference slices
+        # the concatenated input as [:E]/[E:], which with its [pc, emb]
+        # concat order actually mixes coords into the "embedding" slice —
+        # we implement the evident intent (emb -> CNN, coords -> FC).
+        C = cfg.fv_channels
+        ck = jax.random.split(keys[1], 8)
+        dec = {
+            "conv0": conv3d_init(ck[0], C, 64, (1, 1, 1)),
+            "res1a": conv3d_init(ck[1], 64, 64, (3, 3, 3)),
+            "res1b": conv3d_init(ck[2], 64, 64, (3, 3, 3)),
+            "res2a": conv3d_init(ck[3], 64, 64, (3, 3, 3)),
+            "res2b": conv3d_init(ck[4], 64, 64, (3, 3, 3)),
+            "conv3": conv3d_init(ck[5], 64, 16, (1, 1, 1)),
+            "fc": dense_init(ck[6], 16 * cfg.k ** 3 + cfg.dims, cfg.mlp[2]),
+            "out": dense_init(ck[7], cfg.mlp[2], cfg.output_channels),
+        }
+        params["decoder"] = dec
+        state["decoder"] = {}
+        return params, state
 
     in_dim = cfg.patch_dim + cfg.dims
     widths = tuple(cfg.mlp) + (cfg.output_channels,)
@@ -133,6 +165,25 @@ def _output_activation(x, output_act: str):
     return jnp.clip(x + 3.0, 0.0, 6.0) / 3.0 - 1.0
 
 
+def _conv3d_decode(dec, cfg: DPDistConfig, x):
+    """conv_version=3 decoder (see init_dpdist; dpdist_util.py:640-687)."""
+    TB, N, _ = x.shape
+    k, C = cfg.k, cfg.fv_channels
+    delta = x[..., : cfg.dims]
+    emb = x[..., cfg.dims:]
+    vol = emb.reshape(TB * N, k, k, k, C)
+    h = jax.nn.relu(conv3d_apply(dec["conv0"], vol))
+    r = jax.nn.relu(conv3d_apply(dec["res1a"], h))
+    h = h + jax.nn.relu(conv3d_apply(dec["res1b"], r))
+    r = jax.nn.relu(conv3d_apply(dec["res2a"], h))
+    h = h + jax.nn.relu(conv3d_apply(dec["res2b"], r))
+    h = jax.nn.relu(conv3d_apply(dec["conv3"], h))
+    flat = h.reshape(TB, N, -1)
+    feat = jnp.concatenate([flat, delta], axis=-1)
+    feat = jax.nn.relu(dense_apply(dec["fc"], feat))
+    return dense_apply(dec["out"], feat)
+
+
 def _decoder_inputs(cfg: DPDistConfig, queries, table):
     """Build (B, N, in_dim) decoder inputs + (B, N) mask for one direction."""
     if cfg.k > 0:
@@ -180,10 +231,14 @@ def apply_dpdist(params, state, cfg: DPDistConfig, pcA, pcB, *,
     dtype = jnp.dtype(cfg.dtype)
     if dtype != jnp.float32:
         x = x.astype(dtype)
-    y, dec_state = mlp_apply(
-        params["decoder"], state.get("decoder", {}), x, train=train,
-        bn_momentum=bn_momentum,
-    )
+    if cfg.conv_version == 3 and cfg.k > 0:
+        y = _conv3d_decode(params["decoder"], cfg, x)
+        dec_state = {}
+    else:
+        y, dec_state = mlp_apply(
+            params["decoder"], state.get("decoder", {}), x, train=train,
+            bn_momentum=bn_momentum,
+        )
     y = y.astype(jnp.float32)
     y = _output_activation(y, cfg.output_act)
     pred_AB, pred_BA = jnp.split(y, 2, axis=0)

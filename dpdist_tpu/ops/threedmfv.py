@@ -64,9 +64,16 @@ def _power_normalize(x, alpha: float = 0.5, eps: float = 1e-12):
     return jnp.sign(x) * jnp.power(jnp.maximum(jnp.abs(x), eps), alpha)
 
 
+def _on_tpu() -> bool:
+    try:
+        return any("tpu" in str(d).lower() for d in jax.devices())
+    except Exception:
+        return False
+
+
 def threedmfv(points, n_gaussians: int = 512, sigma: float = 0.125,
               *, flatten: bool = False, normalize: bool = True,
-              full_fv: bool = True):
+              full_fv: bool = True, impl: str = "auto"):
     """Compute the 3DmFV representation of a batch of point clouds.
 
     Args:
@@ -75,11 +82,26 @@ def threedmfv(points, n_gaussians: int = 512, sigma: float = 0.125,
       sigma: isotropic Gaussian stddev.
       flatten: if True return (B, C*G) channel-major; else (B, G, C).
       full_fv: include max/min pooled derivatives (C=20) or mean only (C=7).
+      impl: "auto" | "xla" | "pallas". auto picks the fused Pallas kernel
+        on TPU for large point counts (where streaming beats XLA fusion);
+        the XLA path wins for small N (per-program overhead dominates).
 
     Returns:
       (B, G, C) float32 Fisher vectors (or flattened variant).
     """
     B, N, D = points.shape
+    use_pallas = (
+        impl == "pallas"
+        or (impl == "auto" and D == 3 and full_fv and normalize
+            and N >= 1024 and _on_tpu())
+    )
+    if use_pallas:
+        from dpdist_tpu.kernels.threedmfv_pallas import threedmfv_pallas
+
+        fv = threedmfv_pallas(points, n_gaussians, sigma)
+        if flatten:
+            return jnp.transpose(fv, (0, 2, 1)).reshape(B, -1)
+        return fv
     mu = jnp.asarray(threedmfv_grid(n_gaussians, D))  # (G, D)
     G = mu.shape[0]
     w = 1.0 / G

@@ -1,0 +1,32 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dpdist_tpu.ops.threedmfv import threedmfv
+from dpdist_tpu.kernels.threedmfv_pallas import threedmfv_pallas
+
+
+@pytest.mark.parametrize("B,N", [(2, 64), (2, 100), (1, 1000), (3, 8)])
+def test_pallas_threedmfv_matches_jnp(rng, B, N):
+    pts = jnp.asarray(rng.uniform(-0.9, 0.9, (B, N, 3)).astype(np.float32))
+    want = np.asarray(threedmfv(pts, 512, 0.125))
+    got = np.asarray(threedmfv_pallas(pts, 512, 0.125, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_pallas_threedmfv_with_outside_points(rng):
+    pts = np.concatenate([
+        rng.uniform(-0.5, 0.5, (1, 60, 3)),
+        np.full((1, 4, 3), 5.0),
+    ], axis=1).astype(np.float32)
+    want = np.asarray(threedmfv(jnp.asarray(pts), 64, 0.125))
+    got = np.asarray(threedmfv_pallas(jnp.asarray(pts), 64, 0.125, interpret=True))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_pallas_threedmfv_small_grid(rng):
+    pts = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 32, 3)).astype(np.float32))
+    want = np.asarray(threedmfv(pts, 64, 0.25))
+    got = np.asarray(threedmfv_pallas(pts, 64, 0.25, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5)
