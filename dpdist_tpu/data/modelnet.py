@@ -93,14 +93,14 @@ class SurfacePairDataset:
     # -- item loading ------------------------------------------------------
 
     def _load(self, index):
+        from dpdist_tpu.native import fast_loadtxt
+
         name, base = self.datapath[index]
         cls = np.array([self.classes[name]], np.int32)
-        surface = np.loadtxt(base + "_dist_c_scaled.txt", delimiter=",").astype(np.float32)
+        surface = fast_loadtxt(base + "_dist_c_scaled.txt", 3)
         surface = surface[: self.npoints * 1, :3]
-        near = np.loadtxt(base + f"_{self.num_neg_points}_dist_c_neg_l.txt",
-                          delimiter=",").astype(np.float32)
-        far = np.loadtxt(base + f"_{self.num_neg_points}_dist_c_neg_u.txt",
-                         delimiter=",").astype(np.float32)
+        near = fast_loadtxt(base + f"_{self.num_neg_points}_dist_c_neg_l.txt", 4)
+        far = fast_loadtxt(base + f"_{self.num_neg_points}_dist_c_neg_u.txt", 4)
         # Shuffle the far set so the 10% outside-unit-sphere tail mixes in
         # (modelnet_dataset.py:130-134).
         far = far[self.rng.permutation(len(far))]

@@ -88,7 +88,9 @@ class DPDistTrainer:
         return metrics
 
     def train_epoch(self, dataset, epoch: int):
-        losses = []
+        # Keep per-step metrics on device and fetch once per epoch: on
+        # remote-relay platforms a per-step float() costs a full RTT.
+        device_losses = []
         dataset.reset()
         while dataset.has_next_batch():
             bd, bl = dataset.next_batch(augment=self.tcfg.augment)
@@ -97,12 +99,8 @@ class DPDistTrainer:
                 # (reference asserts BATCH_SIZE % NUM_GPUS too); drop tails
                 continue
             m = self.train_step(bd, bl)
-            losses.append(float(m["loss"]))
-            if len(losses) % self.tcfg.log_every == 0:
-                self.logger.log(
-                    f" ---- batch: {len(losses):03d} ---- mean loss: "
-                    f"{np.mean(losses[-self.tcfg.log_every:]):f}"
-                )
+            device_losses.append(m["loss"])
+        losses = [float(np.asarray(l)) for l in device_losses]
         mean_loss = float(np.mean(losses)) if losses else float("nan")
         self.logger.log(f" ---- epoch: {epoch + 1:03d} ---- mean loss: {mean_loss:f}")
         self.logger.metrics(self.global_step, epoch=epoch, train_loss=mean_loss)
