@@ -27,21 +27,48 @@ from dpdist_tpu.ops.threedmfv import threedmfv
 
 def init_pcrnet(key, cfg: PCRNetConfig):
     keys = jax.random.split(key, 10)
-    enc_widths = [64, 64, 64, 128, cfg.out_features]
-    enc = []
-    d = 3
-    for i, w in enumerate(enc_widths):
-        fan = (3, 3 * 64) if i == 0 else None
-        enc.append(dense_init(keys[i], d, w, conv_fan=fan))
-        d = w
+    params = {}
+    if cfg.encoder == "3dmfv":
+        # 6-block 3D inception encoder (ipcr_model.get_3dmfv_encoder:29-52):
+        # filters (64,)*5 + (out/16,), stride-2 maxpools after blocks 2, 4.
+        from dpdist_tpu.nn.layers import conv3d_init
+
+        blocks = []
+        bkeys = jax.random.split(keys[0], 6)
+        in_ch = 20
+        filters = [64, 64, 64, 64, 64, cfg.out_features // 16]
+        for bk, nf in zip(bkeys, filters):
+            ck = jax.random.split(bk, 4)
+            blocks.append({
+                "one": conv3d_init(ck[0], in_ch, nf, (1, 1, 1)),
+                "three": conv3d_init(ck[1], nf, nf, (3, 3, 3)),
+                "five": conv3d_init(ck[2], nf, nf, (5, 5, 5)),
+                "avg": conv3d_init(ck[3], in_ch, nf, (1, 1, 1)),
+            })
+            in_ch = 4 * nf
+        params["mfv_blocks"] = blocks
+        # spatial 8 -> 4 -> 2 after two stride-2 pools; flattened feature:
+        feat_dim = 8 * 4 * filters[-1]  # 2^3 * (4 * out/16) = out/2 * 4
+    else:
+        enc_widths = [64, 64, 64, 128, cfg.out_features]
+        enc = []
+        d = 3
+        for i, w in enumerate(enc_widths):
+            fan = (3, 3 * 64) if i == 0 else None
+            enc.append(dense_init(keys[i], d, w, conv_fan=fan))
+            d = w
+        params["encoder"] = enc
+        feat_dim = cfg.out_features
+
     head_widths = [1024, 512, 256]
     head = []
-    d = 2 * cfg.out_features
+    d = 2 * feat_dim
     for j, w in enumerate(head_widths):
         head.append(dense_init(keys[5 + j], d, w))
         d = w
     out = dense_init(keys[8], d, 7)
-    params = {"encoder": enc, "head": head, "out": out}
+    params["head"] = head
+    params["out"] = out
     return params, {}
 
 
@@ -93,24 +120,43 @@ def apply_pcrnet(params, cfg: PCRNetConfig, source, template, *,
 
 
 def _encode_3dmfv(params, cfg: PCRNetConfig, points):
-    """3DmFV global feature (flattened FV through the shared dense stack).
+    """3DmFV + 6-block 3D inception encoder
+    (ipcr_model.get_3dmfv_encoder:29-52): FV volume -> inception blocks
+    (1x1, 3x3 and 5x5 off the 1x1, avg-pool+1x1; concat) with stride-2
+    maxpools after blocks 2 and 4 -> flatten.
 
-    A streamlined stand-in for the reference's 6-block inception encoder
-    (ipcr_model.get_3dmfv_encoder:29-52): FV volume -> shared MLP on the
-    flattened grid. Kept as a config option; PointNet is the
-    reference-default benchmark path.
+    The reference applies BN inside each conv (tf_util.conv3d bn=True);
+    here normalization uses current-batch statistics (the reference's
+    is_training=True behavior) — running-stat inference BN is intentionally
+    not carried for this non-default encoder variant.
     """
-    fv = threedmfv(points, cfg.mfv_grid ** 3, cfg.sigma3dmfv, flatten=True)
-    x = fv
-    for lp in params["encoder"]:
-        # encoder stack reused as a dense chain over the FV features
-        if lp["w"].shape[0] != x.shape[-1]:
-            # project FV once into the stack's input width
-            x = x[..., : lp["w"].shape[0]] if x.shape[-1] > lp["w"].shape[0] else jnp.pad(
-                x, ((0, 0), (0, lp["w"].shape[0] - x.shape[-1]))
+    from dpdist_tpu.nn.layers import conv3d_apply
+
+    B = points.shape[0]
+    g = cfg.mfv_grid
+    fv = threedmfv(points, g ** 3, cfg.sigma3dmfv)          # (B, V, 20)
+    x = fv.reshape(B, g, g, g, -1)
+
+    def bn(h):
+        m = jnp.mean(h, axis=(0, 1, 2, 3), keepdims=True)
+        v = jnp.var(h, axis=(0, 1, 2, 3), keepdims=True)
+        return (h - m) * jax.lax.rsqrt(v + 1e-3)
+
+    for i, blk in enumerate(params["mfv_blocks"]):
+        one = jax.nn.relu(bn(conv3d_apply(blk["one"], x)))
+        three = jax.nn.relu(bn(conv3d_apply(blk["three"], one)))
+        five = jax.nn.relu(bn(conv3d_apply(blk["five"], one)))
+        avg = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (1, 3, 3, 3, 1), (1, 1, 1, 1, 1), "SAME"
+        ) / 27.0
+        avgc = jax.nn.relu(bn(conv3d_apply(blk["avg"], avg)))
+        x = jnp.concatenate([one, three, five, avgc], axis=-1)
+        if i in (2, 4):
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1),
+                "SAME",
             )
-        x = jax.nn.relu(dense_apply(lp, x))
-    return x
+    return x.reshape(B, -1)
 
 
 def pcrnet_refine(params, cfg: PCRNetConfig, source, template, *,

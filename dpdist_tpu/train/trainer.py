@@ -87,13 +87,23 @@ class DPDistTrainer:
         self.global_step += 1
         return metrics
 
-    def train_epoch(self, dataset, epoch: int):
+    def train_epoch(self, dataset, epoch: int, *, prefetch: bool = True):
         # Keep per-step metrics on device and fetch once per epoch: on
         # remote-relay platforms a per-step float() costs a full RTT.
+        # Host batch assembly overlaps device execution via the prefetcher.
         device_losses = []
-        dataset.reset()
-        while dataset.has_next_batch():
-            bd, bl = dataset.next_batch(augment=self.tcfg.augment)
+        if prefetch:
+            from dpdist_tpu.data.prefetch import PrefetchingLoader
+
+            batches = PrefetchingLoader(dataset, augment=self.tcfg.augment).epoch()
+        else:
+            def _iter():
+                dataset.reset()
+                while dataset.has_next_batch():
+                    yield dataset.next_batch(augment=self.tcfg.augment)
+
+            batches = _iter()
+        for bd, bl in batches:
             if bd.shape[0] < self.tcfg.batch_size:
                 # the sharded step is compiled for exactly batch_size
                 # (reference asserts BATCH_SIZE % NUM_GPUS too); drop tails
