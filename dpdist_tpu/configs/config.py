@@ -56,6 +56,12 @@ class DPDistConfig(_JsonMixin):
 
     @property
     def grid_size(self) -> int:
+        if self.dims == 2:
+            g = round(self.embedding_size ** 0.5)
+            if g * g != self.embedding_size:
+                raise ValueError(
+                    f"embedding_size must be a square for dims=2, got {self.embedding_size}")
+            return g
         g = round(self.embedding_size ** (1.0 / 3.0))
         if g ** 3 != self.embedding_size:
             raise ValueError(f"embedding_size must be a cube, got {self.embedding_size}")
@@ -64,7 +70,9 @@ class DPDistConfig(_JsonMixin):
     @property
     def fv_channels(self) -> int:
         # d_pi: mean(+max); d_mu, d_sigma: mean(+max+min) each, D dims.
-        return (2 + 9 + 9) if self.full_fv else (1 + 3 + 3)
+        if self.full_fv:
+            return 2 + 3 * self.dims + 3 * self.dims
+        return 1 + self.dims + self.dims
 
     @property
     def patch_dim(self) -> int:
@@ -73,7 +81,7 @@ class DPDistConfig(_JsonMixin):
             return self.pointnet_embedding
         if self.k == 0:
             return self.fv_channels * self.embedding_size
-        return self.fv_channels * self.k ** 3
+        return self.fv_channels * self.k ** self.dims
 
 
 @dataclass(frozen=True)

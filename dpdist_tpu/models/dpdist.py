@@ -147,6 +147,10 @@ def dpdist_embed(params, state, cfg: DPDistConfig, points, *, train: bool = Fals
                    flatten=(cfg.k == 0), full_fv=cfg.full_fv)
     if cfg.k == 0:
         return fv, {}
+    if cfg.dims == 2:
+        from dpdist_tpu.ops.voxel import extract_patches_2d
+
+        return extract_patches_2d(fv, cfg.grid_size, cfg.k), {}
     table = extract_patches(fv, cfg.grid_size, cfg.k)
     return table, {}
 

@@ -110,6 +110,29 @@ def extract_patches(volume_features, grid_size: int, k: int):
     return patches.reshape(B, V, k * k * k * C)
 
 
+def extract_patches_2d(volume_features, grid_size: int, k: int):
+    """2-D analog of extract_patches: k^2 neighborhoods, SAME padding.
+
+    The reference's local_z_2d (dpdist_util.py:856-910) uses VALID padding
+    (interior cells only); we use SAME like the 3-D path so every cell has
+    a patch and the voxel-index spaces match — the 3-D path is the
+    canonical one, and the reference's 2-D/3-D padding inconsistency is
+    not worth reproducing.
+    """
+    B, V, C = volume_features.shape
+    g = grid_size
+    assert V == g ** 2, (V, g)
+    kh = k // 2
+    vol = volume_features.reshape(B, g, g, C)
+    padded = jnp.pad(vol, ((0, 0), (kh, kh), (kh, kh), (0, 0)))
+    slices = []
+    for di in range(k):
+        for dj in range(k):
+            slices.append(padded[:, di:di + g, dj:dj + g, :])
+    patches = jnp.stack(slices, axis=3)               # (B, g, g, k^2, C)
+    return patches.reshape(B, V, k * k * C)
+
+
 def gather_patches(patch_table, vox, mask):
     """Fetch each query point's voxel patch via a one-hot matmul.
 

@@ -54,3 +54,19 @@ def test_conv_version_3_decoder(rng):
     d = dense_point_to_surface(params, state, cfg, pcA, pcB)
     np.testing.assert_allclose(np.asarray(d), np.asarray(predAB[..., 0]),
                                atol=1e-5)
+
+
+def test_2d_dpdist_variant(rng):
+    cfg = DPDistConfig(num_point=16, dims=2, embedding_size=64, k=3,
+                       mlp=(32, 32, 32), output_channels=2)
+    params, state = init_dpdist(jax.random.PRNGKey(2), cfg)
+    pcA = jnp.asarray(rng.uniform(-0.8, 0.8, (2, 16, 2)).astype(np.float32))
+    pcB = jnp.asarray(rng.uniform(-0.8, 0.8, (2, 16, 2)).astype(np.float32))
+    predAB, predBA, _ = apply_dpdist(params, state, cfg, pcA, pcB)
+    assert predAB.shape == (2, 16, 2)
+    assert float(jnp.min(predAB)) >= 0.0
+
+    g = jax.grad(lambda p: float(0) + jnp.mean(
+        apply_dpdist(p, state, cfg, pcA, pcB)[0][..., 0]))(params)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))
