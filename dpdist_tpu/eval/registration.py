@@ -138,4 +138,11 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
             for i in range(iterations):
                 w.writerow([i, float(re[i].mean()), float(te[i].mean()),
                             float(ce[i].mean())])
+        from dpdist_tpu.eval.viz import save_iteration_curves
+
+        save_iteration_curves(
+            os.path.join(report_dir, "iteration_curves.png"),
+            report["curve_rot_err_mean"], report["curve_trans_err_mean"],
+            report["curve_convergence_mean"],
+        )
     return report

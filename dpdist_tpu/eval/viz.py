@@ -1,0 +1,85 @@
+"""Matplotlib visualization (reference observability parity, SURVEY §5).
+
+The reference saves point-cloud reconstruction snapshots during AUE
+training (train_multi_gpu_pc_compare_dist.py:574-590) and per-iteration
+registration error plots (results_itrPCRNet_no_stop.py:433-462). All
+functions are no-ops returning None when matplotlib is unavailable and
+always use the Agg backend (headless).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+
+def _plt():
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        return plt
+    except Exception:
+        return None
+
+
+def save_cloud_pair(path: str, cloud_a, cloud_b, *, titles=("rec", "input"),
+                    lim: float = 1.0) -> Optional[str]:
+    """Side-by-side 3D scatter snapshot (reference :574-590)."""
+    plt = _plt()
+    if plt is None:
+        return None
+    fig = plt.figure(figsize=(8, 4))
+    for i, (pc, title) in enumerate(zip((cloud_a, cloud_b), titles)):
+        ax = fig.add_subplot(1, 2, i + 1, projection="3d")
+        ax.scatter(pc[:, 0], pc[:, 1], pc[:, 2], s=2)
+        ax.set_xlim(-lim, lim)
+        ax.set_ylim(-lim, lim)
+        ax.set_zlim(-lim, lim)
+        ax.set_title(title)
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+    return path
+
+
+def save_iteration_curves(path: str, rot_err: Sequence[float],
+                          trans_err: Sequence[float],
+                          conv_err: Optional[Sequence[float]] = None
+                          ) -> Optional[str]:
+    """Per-iteration registration error curves (plot_iter_graph parity)."""
+    plt = _plt()
+    if plt is None:
+        return None
+    fig, axes = plt.subplots(1, 3 if conv_err is not None else 2,
+                             figsize=(12, 3.5))
+    axes[0].plot(rot_err)
+    axes[0].set_title("rotation error (deg)")
+    axes[1].plot(trans_err)
+    axes[1].set_title("translation error")
+    if conv_err is not None:
+        axes[2].semilogy(conv_err)
+        axes[2].set_title("convergence measure")
+    for ax in axes:
+        ax.set_xlabel("iteration")
+        ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+    return path
+
+
+def save_loss_curve(path: str, losses: Sequence[float], *,
+                    ylabel: str = "loss") -> Optional[str]:
+    plt = _plt()
+    if plt is None:
+        return None
+    fig, ax = plt.subplots(figsize=(6, 3.5))
+    ax.plot(losses)
+    ax.set_xlabel("epoch")
+    ax.set_ylabel(ylabel)
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+    return path

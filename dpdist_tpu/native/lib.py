@@ -27,8 +27,11 @@ _tried = False
 
 def _build() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
+    # NOTE: no -ffast-math — linking crtfastmath.o from a shared library
+    # sets the process-wide FTZ/DAZ bits and silently changes numpy's
+    # subnormal behavior for the whole host process.
     cmd = [
-        "g++", "-O3", "-march=native", "-ffast-math", "-shared", "-fPIC",
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
         "-std=c++17", "-pthread", _SRC, "-o", _SO,
     ]
     try:

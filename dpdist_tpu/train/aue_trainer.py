@@ -103,7 +103,7 @@ class AUETrainer:
         self.global_step += 1
         return metrics
 
-    def train_epoch(self, dataset, epoch: int):
+    def train_epoch(self, dataset, epoch: int, *, snapshot_every: int = 0):
         losses, closses = [], []
         dataset.reset()
         while dataset.has_next_batch():
@@ -125,6 +125,15 @@ class AUETrainer:
             self.logger.metrics(self.global_step, epoch=epoch,
                                 train_loss=float(np.mean(losses)),
                                 dpdist_loss=float(dp), chamfer_loss=float(ch))
+            if snapshot_every and epoch % snapshot_every == 0:
+                # reconstruction snapshot (reference :574-590)
+                from dpdist_tpu.eval.viz import save_cloud_pair
+
+                rec = self.reconstruct(x1[:1])
+                save_cloud_pair(
+                    os.path.join(self.run_dir, f"rec_epoch{epoch}.png"),
+                    rec[0], x1[0],
+                )
         return float(np.mean(losses)) if losses else float("nan")
 
     def save(self, tag):
