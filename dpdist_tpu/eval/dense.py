@@ -42,19 +42,77 @@ def _decode_queries(params, state, cfg: DPDistConfig, queries, table):
     return d
 
 
+def _decode_queries_pretransformed(params, state, cfg: DPDistConfig, queries,
+                                   table_w1, w1_delta, b1):
+    """First decoder layer with the embedding half folded into the table.
+
+    relu(concat(delta, emb) @ W1 + b) == relu(delta @ W1d + emb @ W1e + b),
+    and emb @ W1e == onehot @ (table @ W1e) — so for N >> V it is ~8x
+    cheaper (2503 -> 1024-wide rows) to pre-transform the V-row table once
+    than to transform every gathered query row.
+    """
+    from dpdist_tpu.ops.voxel import voxel_assign, gather_patches
+
+    vox, mask, delta = voxel_assign(queries, cfg.grid_size)
+    h = gather_patches(table_w1, vox, mask)            # (B, N, mlp[0])
+    h = jax.nn.relu(h + jnp.matmul(delta, w1_delta) + b1)
+    layers = params["decoder"]["layers"]
+    for lp in layers[1:-1]:
+        h = jax.nn.relu(jnp.matmul(h, lp["w"]) + lp["b"])
+    y = jnp.matmul(h, layers[-1]["w"]) + layers[-1]["b"]
+    y = _output_activation(y.astype(jnp.float32), cfg.output_act)
+    return y[..., 0] * mask
+
+
 def dense_point_to_surface(params, state, cfg: DPDistConfig, cloud, queries,
-                           *, mesh: Optional[Mesh] = None):
+                           *, mesh: Optional[Mesh] = None,
+                           pretransform: str = "auto"):
     """Distances of (B, N, 3) query points to surface(cloud), N-sharded.
 
     Args:
       cloud: (B, M, 3) the surface sample to encode (replicated work: the
         encoder output is only (B, V, k^3*C)).
       queries: (B, N, 3); with a mesh, N must divide by mesh.shape['points'].
+      pretransform: "auto" | "on" | "off" — fold the first decoder layer
+        into the patch table when the query count dwarfs the voxel count
+        (conv_version 1, BN off only).
 
     Returns:
       (B, N) float32 learned distances (channel 0, mask-zeroed).
     """
     table, _ = dpdist_embed(params, state, cfg, cloud, train=False)
+
+    can_pre = (cfg.k > 0 and cfg.conv_version != 3 and not cfg.use_bn)
+    use_pre = can_pre and (
+        pretransform == "on"
+        or (pretransform == "auto" and queries.shape[1] >= 4 * cfg.embedding_size)
+    )
+    if use_pre:
+        w1 = params["decoder"]["layers"][0]["w"]       # (D+E, mlp[0])
+        w1_delta = w1[: cfg.dims]
+        w1_emb = w1[cfg.dims:]
+        b1 = params["decoder"]["layers"][0]["b"]
+        table_w1 = jnp.einsum("bve,eh->bvh", table, w1_emb)
+
+        if mesh is None or mesh.shape.get("points", 1) == 1:
+            return _decode_queries_pretransformed(
+                params, state, cfg, queries, table_w1, w1_delta, b1)
+
+        npoints = mesh.shape["points"]
+        assert queries.shape[1] % npoints == 0
+
+        def local_pre(params, table_w1, w1_delta, b1, q_shard):
+            return _decode_queries_pretransformed(
+                params, state, cfg, q_shard, table_w1, w1_delta, b1)
+
+        sharded = jax.shard_map(
+            local_pre, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(None, "points", None)),
+            out_specs=P(None, "points"), check_vma=False,
+        )
+        queries = jax.device_put(
+            queries, NamedSharding(mesh, P(None, "points", None)))
+        return sharded(params, table_w1, w1_delta, b1, queries)
 
     if mesh is None or mesh.shape.get("points", 1) == 1:
         return _decode_queries(params, state, cfg, queries, table)

@@ -70,3 +70,26 @@ def test_2d_dpdist_variant(rng):
         apply_dpdist(p, state, cfg, pcA, pcB)[0][..., 0]))(params)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_dense_pretransform_matches(rng):
+    params, state = init_dpdist(jax.random.PRNGKey(0), CFG)
+    cloud = jnp.asarray(rng.uniform(-0.8, 0.8, (2, 16, 3)).astype(np.float32))
+    queries = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 512, 3)).astype(np.float32))
+    base = dense_point_to_surface(params, state, CFG, cloud, queries,
+                                  pretransform="off")
+    pre = dense_point_to_surface(params, state, CFG, cloud, queries,
+                                 pretransform="on")
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(base), atol=2e-5)
+
+
+def test_dense_pretransform_sharded(rng):
+    params, state = init_dpdist(jax.random.PRNGKey(0), CFG)
+    cloud = jnp.asarray(rng.uniform(-0.8, 0.8, (1, 16, 3)).astype(np.float32))
+    queries = jnp.asarray(rng.uniform(-0.9, 0.9, (1, 1024, 3)).astype(np.float32))
+    mesh = make_mesh(data=1, points=8)
+    pre = dense_point_to_surface(params, state, CFG, cloud, queries,
+                                 mesh=mesh, pretransform="on")
+    base = dense_point_to_surface(params, state, CFG, cloud, queries,
+                                  pretransform="off")
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(base), atol=2e-5)
