@@ -28,6 +28,19 @@ class RunLogger:
             with open(os.path.join(run_dir, "config.json"), "w") as f:
                 f.write(config_json)
             self.log(f"config written to {run_dir}/config.json")
+        # Provenance (replaces the reference's code self-backup into the
+        # log dir, train_multi_gpu_pc_compare_dist.py:164-167).
+        try:
+            import subprocess
+
+            rev = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)), timeout=5,
+            ).stdout.strip()
+            if rev:
+                self.log(f"code revision: {rev}")
+        except Exception:
+            pass
 
     def log(self, msg: str):
         self._log.write(msg + "\n")
