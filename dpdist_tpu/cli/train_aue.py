@@ -42,6 +42,7 @@ def main(argv=None):
     p.add_argument("--category", default="chair")
     p.add_argument("--log_dir", default="runs/aue")
     p.add_argument("--max_epoch_aue", type=int, default=100)
+    p.add_argument("--resume", default=None, help="AUE checkpoint base path")
     a = p.parse_args(argv)
 
     from dpdist_tpu.configs import AUEConfig
@@ -55,6 +56,8 @@ def main(argv=None):
     trainer = AUETrainer(acfg, tcfg, dcfg, dparams, dstate,
                          opt_type=a.opt_type, run_dir=a.log_dir,
                          mesh=mesh_from_args(a))
+    if a.resume:
+        trainer.restore(a.resume)
     ds = SurfacePairDataset(a.data_root, batch_size=tcfg.batch_size,
                             npoints=a.num_point * 2, split="train",
                             class_choice=a.category, seed=a.seed)

@@ -28,6 +28,7 @@ def main(argv=None):
     p.add_argument("--s_rand_points", type=float, default=0.0)
     p.add_argument("--noise_prob", type=float, default=0.0)
     p.add_argument("--templates_h5", default=None)
+    p.add_argument("--resume", default=None, help="PCRNet checkpoint base path")
     a = p.parse_args(argv)
 
     from dpdist_tpu.configs import PCRNetConfig
@@ -48,6 +49,8 @@ def main(argv=None):
 
     trainer = PCRNetTrainer(pcfg, tcfg, loss_type=a.loss_type, dpdist=dpdist,
                             run_dir=a.log_dir, mesh=mesh_from_args(a))
+    if a.resume:
+        trainer.restore(a.resume)
     ds = RegistrationDataset(h5_path=a.templates_h5, families=tuple(a.families),
                              n_templates=a.n_templates, num_point=a.num_point,
                              max_rotate_deg=a.max_rotate_deg, seed=a.seed)

@@ -69,6 +69,44 @@ def save_iteration_curves(path: str, rot_err: Sequence[float],
     return path
 
 
+def point_cloud_three_views(points, *, img_size: int = 128,
+                            radius: float = 1.0):
+    """Render axis-aligned XY/XZ/YZ density projections as one image array.
+
+    Lightweight stand-in for pc_util.point_cloud_three_views
+    (utils/pc_util.py:24-198): returns (img_size, 3*img_size) float array
+    in [0, 1], no matplotlib required.
+    """
+    import numpy as np
+
+    pts = np.asarray(points)
+    views = []
+    for axes in ((0, 1), (0, 2), (1, 2)):
+        img = np.zeros((img_size, img_size), np.float32)
+        u = ((pts[:, axes[0]] + radius) / (2 * radius) * (img_size - 1))
+        v = ((pts[:, axes[1]] + radius) / (2 * radius) * (img_size - 1))
+        ok = (u >= 0) & (u < img_size) & (v >= 0) & (v < img_size)
+        np.add.at(img, (v[ok].astype(int), u[ok].astype(int)), 1.0)
+        m = img.max()
+        views.append(img / m if m > 0 else img)
+    import numpy as _np
+
+    return _np.concatenate(views, axis=1)
+
+
+def save_three_views(path: str, points) -> Optional[str]:
+    plt = _plt()
+    if plt is None:
+        return None
+    img = point_cloud_three_views(points)
+    fig, ax = plt.subplots(figsize=(9, 3))
+    ax.imshow(img, cmap="gray_r", origin="lower")
+    ax.axis("off")
+    fig.savefig(path, dpi=80, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def save_loss_curve(path: str, losses: Sequence[float], *,
                     ylabel: str = "loss") -> Optional[str]:
     plt = _plt()

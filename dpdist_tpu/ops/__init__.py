@@ -11,6 +11,7 @@ from dpdist_tpu.ops.chamfer import (
     chamfer_distance,
 )
 from dpdist_tpu.ops.emd import sinkhorn_emd, earth_mover_distance
+from dpdist_tpu.ops.knn import pairwise_distance, knn
 
 __all__ = [
     "threedmfv",
@@ -24,4 +25,6 @@ __all__ = [
     "chamfer_distance",
     "sinkhorn_emd",
     "earth_mover_distance",
+    "pairwise_distance",
+    "knn",
 ]

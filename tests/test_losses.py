@@ -78,3 +78,16 @@ def test_l1_sample_loss():
     labels = jnp.zeros((2, 8))
     assert abs(float(l1_sample_loss(pred, labels)) - 0.5) < 1e-6
     assert abs(float(pred_mean_loss(pred, pred)) - 0.5) < 1e-6
+
+
+def test_knn_matches_bruteforce(rng):
+    from dpdist_tpu.ops.knn import knn, pairwise_distance
+    pts = jnp.asarray(rng.normal(size=(2, 32, 3)).astype(np.float32))
+    idx = np.asarray(knn(pts, 4))
+    D = np.asarray(pairwise_distance(pts))
+    for b in range(2):
+        for n in range(32):
+            want = set(np.argsort(D[b, n])[:4])
+            assert set(idx[b, n]) == want
+    idx2 = np.asarray(knn(pts, 3, exclude_self=True))
+    assert not (idx2 == np.arange(32)[None, :, None]).any()
