@@ -115,14 +115,43 @@ def _kernel(points_ref, mu_ref, out_ref, *, G: int, sigma: float,
         out_ref[0] = merged
 
 
-@functools.partial(jax.jit, static_argnames=("n_gaussians", "sigma", "interpret"))
 def threedmfv_pallas(points, n_gaussians: int = 512, sigma: float = 0.125,
                      *, interpret: bool = False):
     """Fused 3DmFV: (B, N, 3) -> (B, G, 20). full_fv + normalize only.
 
     Semantics identical to ops.threedmfv.threedmfv(..., flatten=False,
-    full_fv=True, normalize=True) for 3-D inputs.
+    full_fv=True, normalize=True) for 3-D inputs. Differentiable: the
+    backward pass runs through the XLA formulation (the kernel itself has
+    no transpose rule), so frozen-DPDist losses can flow gradients into
+    the encoded cloud at any N.
     """
+    return _threedmfv_pallas_diff(points, n_gaussians, float(sigma), interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _threedmfv_pallas_diff(points, n_gaussians, sigma, interpret):
+    return _threedmfv_pallas_impl(points, n_gaussians, sigma, interpret)
+
+
+def _threedmfv_pallas_fwd(points, n_gaussians, sigma, interpret):
+    return _threedmfv_pallas_impl(points, n_gaussians, sigma, interpret), points
+
+
+def _threedmfv_pallas_bwd(n_gaussians, sigma, interpret, points, g):
+    from dpdist_tpu.ops.threedmfv import threedmfv
+
+    _, vjp = jax.vjp(
+        lambda p: threedmfv(p, n_gaussians, sigma, impl="xla"), points
+    )
+    return vjp(g)
+
+
+_threedmfv_pallas_diff.defvjp(_threedmfv_pallas_fwd, _threedmfv_pallas_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("n_gaussians", "sigma", "interpret"))
+def _threedmfv_pallas_impl(points, n_gaussians: int = 512, sigma: float = 0.125,
+                           interpret: bool = False):
     B, N, D = points.shape
     assert D == 3, "pallas kernel is 3-D only; use ops.threedmfv for 2-D"
     G = n_gaussians
