@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Iterable, Sequence
+from typing import Sequence
 
 import numpy as np
 

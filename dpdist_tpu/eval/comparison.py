@@ -11,7 +11,7 @@ reference runs implicitly through training-time summaries
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 import jax

@@ -15,7 +15,6 @@ dataset_sample_with_gt.py).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -9,7 +9,6 @@ and faster than in-graph concat/mean gradient exchange.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

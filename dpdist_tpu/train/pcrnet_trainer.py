@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dpdist_tpu.configs import DPDistConfig, PCRNetConfig, TrainConfig
+from dpdist_tpu.configs import PCRNetConfig, TrainConfig
 from dpdist_tpu.losses import make_frozen_dpdist_loss
 from dpdist_tpu.models import init_pcrnet
 from dpdist_tpu.models.pcrnet import pcrnet_refine

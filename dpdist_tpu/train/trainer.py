@@ -13,7 +13,6 @@ from typing import Optional
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from dpdist_tpu.configs import DPDistConfig, TrainConfig
 from dpdist_tpu.data.batching import assemble_dpdist_batch
