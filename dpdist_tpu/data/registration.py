@@ -88,7 +88,10 @@ class RegistrationDataset:
                  families: Sequence[str] = ("chair",),
                  n_templates: int = 16, num_point: int = 1024,
                  max_rotate_deg: float = 45.0, t_clip: float = 0.01,
-                 seed: int = 0):
+                 scale: float = 0.8, seed: int = 0):
+        """scale: synthetic templates are scaled like the reference's
+        registration data, which is built from the *_dist_c_scaled (x0.8)
+        surfaces — also what a frozen DPDist loss was trained on."""
         self.rng = np.random.default_rng(seed)
         self.num_point = num_point
         self.max_rotate_deg = max_rotate_deg
@@ -105,7 +108,7 @@ class RegistrationDataset:
                 synthetic_surface(families[i % len(families)], seed=seed + i,
                                   n_points=max(num_point, 2048))
                 for i in range(n_templates)
-            ])
+            ]) * scale
         assert self.templates.shape[1] >= num_point
 
     def sample_batch(self, batch_size: int, *, random_points_prob: float = 0.0,
