@@ -24,7 +24,11 @@ class _JsonMixin:
 
     @classmethod
     def from_json(cls, s: str):
-        return cls(**json.loads(s))
+        d = json.loads(s)
+        # JSON has no tuples; restore them so configs stay hashable
+        # (hashability is required for jit static-arg use).
+        d = {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}
+        return cls(**d)
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -104,6 +108,10 @@ class PCRNetConfig(_JsonMixin):
     max_loops: int = 8            # iterative refinement loops during training
     eval_iterations: int = 50     # fixed eval refinement iterations
     lim_rot: float = 0.0          # >0: tanh-limited axis-angle head (degrees)
+    head_widths: Tuple[int, ...] = (1024, 512, 256)
+    # ^ iterative PCRNet head (ipcr_model.get_pose:273-283); the older
+    #   single-pass pcr_model uses (1024, 1024, 512, 512, 256)
+    #   (models/pcr_model.py:14-93) — set head_widths + max_loops=1.
     dropout_keep: float = 0.7
     sigma3dmfv: float = 0.25      # 3dmfv encoder variant: sigma=0.0625*4
     mfv_grid: int = 8

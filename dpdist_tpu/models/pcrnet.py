@@ -60,11 +60,11 @@ def init_pcrnet(key, cfg: PCRNetConfig):
         params["encoder"] = enc
         feat_dim = cfg.out_features
 
-    head_widths = [1024, 512, 256]
     head = []
     d = 2 * feat_dim
-    for j, w in enumerate(head_widths):
-        head.append(dense_init(keys[5 + j], d, w))
+    hkeys = jax.random.split(keys[5], len(cfg.head_widths))
+    for hk, w in zip(hkeys, cfg.head_widths):
+        head.append(dense_init(hk, d, w))
         d = w
     out = dense_init(keys[8], d, 7)
     params["head"] = head
