@@ -63,6 +63,26 @@ def _decode_queries_pretransformed(params, state, cfg: DPDistConfig, queries,
     return y[..., 0] * mask
 
 
+def distance_field(params, state, cfg: DPDistConfig, cloud, *,
+                   resolution: int = 64, extent: float = 1.0,
+                   mesh: Optional[Mesh] = None):
+    """Evaluate the learned distance on a dense regular grid.
+
+    Returns (B, R, R, R) distances — the implicit field for level-set /
+    marching-cubes surface extraction from a trained DPDist. R^3 query
+    points shard over the 'points' mesh axis when a mesh is given.
+    """
+    import numpy as np
+
+    r = np.linspace(-extent, extent, resolution).astype(np.float32)
+    X, Y, Z = np.meshgrid(r, r, r, indexing="ij")
+    q = jnp.asarray(np.stack([X, Y, Z], -1).reshape(1, -1, 3))
+    B = cloud.shape[0]
+    q = jnp.broadcast_to(q, (B, q.shape[1], 3))
+    d = dense_point_to_surface(params, state, cfg, cloud, q, mesh=mesh)
+    return d.reshape(B, resolution, resolution, resolution)
+
+
 def dense_point_to_surface(params, state, cfg: DPDistConfig, cloud, queries,
                            *, mesh: Optional[Mesh] = None,
                            pretransform: str = "auto"):

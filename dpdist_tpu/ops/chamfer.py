@@ -40,13 +40,25 @@ def nn_distance(pc1, pc2):
     return dist1, idx1, dist2, idx2
 
 
-def chamfer_distance(pc1, pc2, *, sqrt: bool = True):
+def chamfer_distance(pc1, pc2, *, sqrt: bool = True, impl: str = "auto"):
     """Scalar chamfer distance over a batch.
 
     sqrt=True matches tf_util_loss.chamfer (mean of euclidean NN distances,
     tf_util_loss.py:35-39); sqrt=False matches the squared variant used by
     the AUE trainer's chmafer_dist (train_multi_gpu_pc_compare_dist.py:912-916).
+
+    impl='auto' streams through the tiled Pallas kernel on TPU when the
+    N x M distance matrix would be prohibitively large; 'xla' forces the
+    matmul-identity path.
     """
+    N, M = pc1.shape[1], pc2.shape[1]
+    if impl == "auto" and N * M >= 64 * 10 ** 6:
+        from dpdist_tpu.ops.threedmfv import _on_tpu
+
+        if _on_tpu():
+            from dpdist_tpu.kernels.chamfer_pallas import chamfer_distance_pallas
+
+            return chamfer_distance_pallas(pc1, pc2, sqrt=sqrt)
     d = pairwise_sqdist(pc1, pc2)
     d1 = jnp.min(d, axis=2)
     d2 = jnp.min(d, axis=1)

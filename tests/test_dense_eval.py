@@ -93,3 +93,12 @@ def test_dense_pretransform_sharded(rng):
     base = dense_point_to_surface(params, state, CFG, cloud, queries,
                                   pretransform="off")
     np.testing.assert_allclose(np.asarray(pre), np.asarray(base), atol=2e-5)
+
+
+def test_distance_field_shape(rng):
+    from dpdist_tpu.eval.dense import distance_field
+    params, state = init_dpdist(jax.random.PRNGKey(0), CFG)
+    cloud = jnp.asarray(rng.uniform(-0.7, 0.7, (1, 16, 3)).astype(np.float32))
+    f = distance_field(params, state, CFG, cloud, resolution=16)
+    assert f.shape == (1, 16, 16, 16)
+    assert np.isfinite(np.asarray(f)).all()

@@ -30,3 +30,19 @@ def test_pallas_threedmfv_small_grid(rng):
     want = np.asarray(threedmfv(pts, 64, 0.25))
     got = np.asarray(threedmfv_pallas(pts, 64, 0.25, interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_pallas_chamfer_matches_xla(rng):
+    from dpdist_tpu.kernels.chamfer_pallas import nn_min_sqdist_pallas, chamfer_distance_pallas
+    from dpdist_tpu.ops.chamfer import nn_distance, chamfer_distance
+
+    a = jnp.asarray(rng.normal(size=(2, 100, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(2, 180, 3)).astype(np.float32))
+    got = np.asarray(nn_min_sqdist_pallas(a, b, tile_n=32, tile_m=128,
+                                          interpret=True))
+    want = np.asarray(nn_distance(a, b)[0])
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    c_got = float(chamfer_distance_pallas(a, b, interpret=True))
+    c_want = float(chamfer_distance(a, b))
+    assert abs(c_got - c_want) < 1e-4
