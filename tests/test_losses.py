@@ -91,3 +91,19 @@ def test_knn_matches_bruteforce(rng):
             assert set(idx[b, n]) == want
     idx2 = np.asarray(knn(pts, 3, exclude_self=True))
     assert not (idx2 == np.arange(32)[None, :, None]).any()
+
+
+def test_blocked_emd_matches_dense(rng):
+    from dpdist_tpu.ops.emd import sinkhorn_emd, sinkhorn_emd_blocked
+    x = jnp.asarray(rng.normal(size=(2, 96, 3)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(2, 160, 3)).astype(np.float32))
+    dense = np.asarray(sinkhorn_emd(x, y, 40, 0.5, 0.01))
+    blocked = np.asarray(sinkhorn_emd_blocked(x, y, iters=40, tile=32))
+    np.testing.assert_allclose(blocked, dense, rtol=0.03, atol=1e-3)
+
+
+def test_blocked_emd_identical_near_zero(rng):
+    from dpdist_tpu.ops.emd import sinkhorn_emd_blocked
+    x = jnp.asarray(rng.normal(size=(1, 64, 3)).astype(np.float32))
+    v = float(sinkhorn_emd_blocked(x, x, iters=40, tile=32)[0])
+    assert v < 0.1, v
