@@ -124,15 +124,24 @@ class DPDistTrainer:
         self.logger.metrics(self.global_step, epoch=epoch, train_loss=mean_loss)
         return mean_loss
 
+    def _eval_loss_fn(self):
+        # Cached jitted eval: a fresh closure per eval_epoch call would
+        # recompile every time.
+        if not hasattr(self, "_eval_loss"):
+            mcfg = self.mcfg
+
+            @jax.jit
+            def eval_loss(p, s, pcA, pcB, labels):
+                pred_AB, _, _ = apply_dpdist(p, s, mcfg, pcA, pcB, train=False)
+                return l1_sample_loss(pred_AB, labels)
+
+            self._eval_loss = eval_loss
+        return self._eval_loss
+
     def eval_epoch(self, dataset, epoch: int):
         """eval_one_epoch_3d parity: L1 on the held-out split, no augment."""
-        mcfg, state = self.mcfg, self.state
-
-        @jax.jit
-        def eval_loss(p, s, pcA, pcB, labels):
-            pred_AB, _, _ = apply_dpdist(p, s, mcfg, pcA, pcB, train=False)
-            return l1_sample_loss(pred_AB, labels)
-
+        state = self.state
+        eval_loss = self._eval_loss_fn()
         losses = []
         dataset.reset()
         while dataset.has_next_batch():
