@@ -57,6 +57,8 @@ class DPDistConfig(_JsonMixin):
     use_bn: bool = False          # reference default BN=0
     output_channels: int = 3      # decoder output channels; loss uses channel 0
     dtype: str = "float32"        # compute dtype for the decoder matmuls
+    fused_gather: str = "auto"    # "auto" | "on" | "off": VMEM patch gather
+                                  # (skips the k^3 patch table; TPU only)
 
     @property
     def grid_size(self) -> int:

@@ -201,6 +201,29 @@ def _decoder_inputs(cfg: DPDistConfig, queries, table):
     return x, jnp.ones((B, N), queries.dtype)
 
 
+def _decoder_inputs_fused(cfg: DPDistConfig, queries, fv):
+    """Fused-gather variant: consumes the raw (B, V, C) FV volume and
+    assembles each query's patch in VMEM (kernels/gather_pallas.py),
+    skipping the (B, V, k^3*C) patch table entirely."""
+    from dpdist_tpu.kernels.gather_pallas import gather_patches_fused
+
+    vox, mask, delta = voxel_assign(queries, cfg.grid_size)
+    emb = gather_patches_fused(fv, vox, mask, grid_size=cfg.grid_size,
+                               k=cfg.k)
+    x = jnp.concatenate([delta, emb], axis=-1)
+    return x, mask
+
+
+def _use_fused_gather(cfg: DPDistConfig) -> bool:
+    if cfg.fused_gather == "on":
+        return True
+    if cfg.fused_gather == "off":
+        return False
+    from dpdist_tpu.ops.threedmfv import _on_tpu
+
+    return cfg.k > 0 and cfg.dims == 3 and cfg.encoder == "3dmfv" and _on_tpu()
+
+
 def apply_dpdist(params, state, cfg: DPDistConfig, pcA, pcB, *,
                  noise: Optional[jax.Array] = None, train: bool = False,
                  bn_momentum=0.9):
@@ -217,16 +240,26 @@ def apply_dpdist(params, state, cfg: DPDistConfig, pcA, pcB, *,
       pred_AB = distances of B's points to surface(A), mask-zeroed.
     """
     pcA_enc = pcA if noise is None else pcA + noise
-    tableA, nsA = dpdist_embed(params, state, cfg, pcA_enc, train=train,
-                               bn_momentum=bn_momentum)
-    tableB, nsB = dpdist_embed(params, state, cfg, pcB, train=train,
-                               bn_momentum=bn_momentum)
-    # NOTE: the reference shares encoder BN state across the two calls via
-    # variable reuse; with BN off (canonical config) the calls are pure.
-    # We keep the second call's state (matching TF's last-update-wins EMA).
+    if _use_fused_gather(cfg):
+        # Raw FV volumes only; the per-query patch assembles in VMEM.
+        fvA = threedmfv(pcA_enc, cfg.embedding_size, cfg.sigma,
+                        full_fv=cfg.full_fv)
+        fvB = threedmfv(pcB, cfg.embedding_size, cfg.sigma,
+                        full_fv=cfg.full_fv)
+        nsB = {}
+        xAB, maskAB = _decoder_inputs_fused(cfg, pcB, fvA)
+        xBA, maskBA = _decoder_inputs_fused(cfg, pcA, fvB)
+    else:
+        tableA, nsA = dpdist_embed(params, state, cfg, pcA_enc, train=train,
+                                   bn_momentum=bn_momentum)
+        tableB, nsB = dpdist_embed(params, state, cfg, pcB, train=train,
+                                   bn_momentum=bn_momentum)
+        # NOTE: the reference shares encoder BN state across the two calls
+        # via variable reuse; with BN off (canonical config) the calls are
+        # pure. We keep the second call's state (TF last-update-wins EMA).
 
-    xAB, maskAB = _decoder_inputs(cfg, pcB, tableA)   # B's points vs surf(A)
-    xBA, maskBA = _decoder_inputs(cfg, pcA, tableB)   # A's points vs surf(B)
+        xAB, maskAB = _decoder_inputs(cfg, pcB, tableA)  # B's pts vs surf(A)
+        xBA, maskBA = _decoder_inputs(cfg, pcA, tableB)  # A's pts vs surf(B)
 
     # One 2B batch through the decoder — preserves BN-on batch statistics
     # semantics of the reference's tf.concat([net, netB], 0)

@@ -46,3 +46,29 @@ def test_pallas_chamfer_matches_xla(rng):
     c_got = float(chamfer_distance_pallas(a, b, interpret=True))
     c_want = float(chamfer_distance(a, b))
     assert abs(c_got - c_want) < 1e-4
+
+
+def test_fused_gather_model_forward_matches(rng):
+    import jax
+    from dpdist_tpu.configs import DPDistConfig
+    from dpdist_tpu.models import init_dpdist, apply_dpdist
+
+    base = DPDistConfig(num_point=16, embedding_size=64, k=3, mlp=(32, 32, 32))
+    fused = base.replace(fused_gather="on")
+    params, state = init_dpdist(jax.random.PRNGKey(0), base)
+    pcA = jnp.asarray(rng.uniform(-0.8, 0.8, (2, 16, 3)).astype(np.float32))
+    pcB = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 16, 3)).astype(np.float32))
+    a0, b0, _ = apply_dpdist(params, state, base, pcA, pcB)
+    a1, b1, _ = apply_dpdist(params, state, fused, pcA, pcB)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b0), atol=2e-5)
+
+    # gradients through the fused path (XLA-backed VJP)
+    def loss(p, cfg):
+        a, _, _ = apply_dpdist(p, state, cfg, pcA, pcB)
+        return jnp.mean(a[..., 0])
+
+    g0 = jax.grad(lambda p: loss(p, base))(params)
+    g1 = jax.grad(lambda p: loss(p, fused))(params)
+    for x, y in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-5)
