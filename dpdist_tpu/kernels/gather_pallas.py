@@ -55,7 +55,10 @@ def neighbor_ids(vox, mask, grid_size: int, k: int):
 
 
 def _kernel(nid_ref, fv_ref, out_ref, *, V: int, C: int, tile: int):
-    nid = nid_ref[0]                                   # (tile,) int32
+    t = pl.program_id(1)
+    # nid block is the full padded row (TPU block-shape rules forbid a
+    # (1, tile) int block); slice this program's tile dynamically.
+    nid = nid_ref[0, 0, pl.ds(t * tile, tile)]         # (tile,) int32
     fv = fv_ref[0]                                     # (V, C)
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile, V), 1)
     onehot = (cols == nid[:, None]).astype(jnp.float32)
@@ -120,13 +123,16 @@ def _gather_fused_impl(fv, vox, mask, *, grid_size: int, k: int,
     if Rp != R:
         nid = jnp.concatenate(
             [nid, jnp.full((B, Rp - R), -1, jnp.int32)], axis=1)
+    nid = nid.reshape(B, 1, Rp)
 
     kernel = functools.partial(_kernel, V=V, C=C, tile=tile)
     out = pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, tile), lambda b, t: (b, t),
+            # (B, 1, Rp): a (1, 1, Rp) block satisfies the TPU block-shape
+            # rule (last two dims equal the array's), unlike (1, tile).
+            pl.BlockSpec((1, 1, Rp), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, V, C), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
