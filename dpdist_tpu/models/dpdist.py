@@ -103,6 +103,15 @@ def init_dpdist(key, cfg: DPDistConfig):
     dec_p, dec_s = mlp_init(
         keys[1], in_dim, widths, conv_fan_first=conv_fan_first, use_bn=cfg.use_bn
     )
+    if cfg.output_act == "relu":
+        # relu6(x)/3 head with zero bias starts at the boundary of its dead
+        # zone; the L1 loss's zero-label surface points then push the whole
+        # head below zero where gradients vanish — a data-dependent trap
+        # (observed: multi-category training froze at loss = mean|label|
+        # while chair escaped by luck; the reference's lr-sensitivity note
+        # at train_multi_gpu_pc_compare_dist.py:52 is the same hazard).
+        # Start mid-range: pre-act +0.45 -> initial prediction 0.15.
+        dec_p["layers"][-1]["b"] = dec_p["layers"][-1]["b"] + 0.45
     params["decoder"] = dec_p
     state["decoder"] = dec_s
     return params, state
