@@ -24,6 +24,10 @@ def main(argv=None):
     p.add_argument("--templates_h5", default=None)
     p.add_argument("--report_dir", default="runs/registration_eval")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_noise_data", action="store_true",
+                   help="per-point gaussian noise on sources (helper.add_noise)")
+    p.add_argument("--add_occlusions", type=float, default=0.0,
+                   help="fraction of each source removed as a kNN ball")
     a = p.parse_args(argv)
 
     from dpdist_tpu.configs import PCRNetConfig
@@ -41,6 +45,11 @@ def main(argv=None):
     ds = RegistrationDataset(h5_path=a.templates_h5, families=tuple(a.families),
                              n_templates=a.n_templates, num_point=pcfg.num_point,
                              max_rotate_deg=a.max_rotate_deg, seed=a.seed)
+    if a.use_noise_data or a.add_occlusions > 0:
+        from dpdist_tpu.data.registration import PerturbedRegistrationDataset
+
+        ds = PerturbedRegistrationDataset(ds, noise=a.use_noise_data,
+                                          occlusion_fraction=a.add_occlusions)
     report = evaluate_registration(tree["params"], pcfg, ds,
                                    num_cases=a.num_cases,
                                    iterations=a.iterations,

@@ -80,6 +80,26 @@ def add_occlusions_np(source: np.ndarray, fraction: float,
     return out
 
 
+class PerturbedRegistrationDataset:
+    """Wrap a RegistrationDataset adding per-point noise / occlusion to
+    the source after pose synthesis (the evaluator's --use_noise_data /
+    --add_occlusions paths, results_itrPCRNet_no_stop.py:250-313)."""
+
+    def __init__(self, base, *, noise: bool = False,
+                 occlusion_fraction: float = 0.0):
+        self.base = base
+        self.noise = noise
+        self.occlusion_fraction = occlusion_fraction
+
+    def sample_batch(self, batch_size, **kw):
+        t, s, gt = self.base.sample_batch(batch_size, **kw)
+        if self.noise:
+            s = add_noise_np(s, self.base.rng)
+        if self.occlusion_fraction > 0:
+            s = add_occlusions_np(s, self.occlusion_fraction, self.base.rng)
+        return t, s, gt
+
+
 class RegistrationDataset:
     """Template library + pose sampler producing (template, source, gt_pose)."""
 

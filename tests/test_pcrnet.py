@@ -129,3 +129,13 @@ def test_identity_refinement_has_zero_error():
     te0, re0 = transform_errors(T_gt, T_gt)
     np.testing.assert_allclose(np.asarray(te0), 0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(re0), 0, atol=5e-2)
+
+
+def test_perturbed_registration_dataset():
+    from dpdist_tpu.data.registration import PerturbedRegistrationDataset
+    base = RegistrationDataset(n_templates=2, num_point=64, seed=0)
+    ds = PerturbedRegistrationDataset(base, noise=True, occlusion_fraction=0.2)
+    t, s, gt = ds.sample_batch(2)
+    assert t.shape == (2, 64, 3) and s.shape == (2, 64, 3)
+    t2, s2, _ = base.sample_batch(2)
+    assert s.shape == s2.shape
