@@ -138,11 +138,15 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
             for i in range(iterations):
                 w.writerow([i, float(re[i].mean()), float(te[i].mean()),
                             float(ce[i].mean())])
-        from dpdist_tpu.eval.viz import save_iteration_curves
+        from dpdist_tpu.eval.viz import save_iteration_curves, save_error_histograms
 
         save_iteration_curves(
             os.path.join(report_dir, "iteration_curves.png"),
             report["curve_rot_err_mean"], report["curve_trans_err_mean"],
             report["curve_convergence_mean"],
+        )
+        save_error_histograms(
+            os.path.join(report_dir, "error_histograms.png"),
+            final_re, final_te,
         )
     return report

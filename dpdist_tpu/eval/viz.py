@@ -69,6 +69,25 @@ def save_iteration_curves(path: str, rot_err: Sequence[float],
     return path
 
 
+def save_error_histograms(path: str, rot_err_deg, trans_err) -> Optional[str]:
+    """Rotation/translation error histograms (helper.log_test_results
+    parity, helper.py:771-923)."""
+    plt = _plt()
+    if plt is None:
+        return None
+    fig, axes = plt.subplots(1, 2, figsize=(9, 3.5))
+    axes[0].hist(rot_err_deg, bins=36)
+    axes[0].set_xlabel("rotation error (deg)")
+    axes[1].hist(trans_err, bins=36)
+    axes[1].set_xlabel("translation error")
+    for ax in axes:
+        ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+    return path
+
+
 def point_cloud_three_views(points, *, img_size: int = 128,
                             radius: float = 1.0):
     """Render axis-aligned XY/XZ/YZ density projections as one image array.

@@ -99,3 +99,21 @@ def test_distance_self_symmetry(rng):
     pcA, pcB = _clouds(rng)
     d = dpdist_distance(params, state, CFG, pcA, pcB, per_example=True)
     assert d.shape == (2,)
+
+
+def test_bn_enabled_variant(rng):
+    """BN=1 path: state updates in train mode, inference uses EMA stats."""
+    cfg = DPDistConfig(num_point=16, embedding_size=64, k=3, mlp=(32, 32, 32),
+                       use_bn=True)
+    params, state = init_dpdist(jax.random.PRNGKey(0), cfg)
+    pcA, pcB = _clouds(rng)
+    predAB, _, new_state = apply_dpdist(params, state, cfg, pcA, pcB,
+                                        train=True, bn_momentum=0.9)
+    assert predAB.shape == (2, 16, 3)
+    old = jax.tree_util.tree_leaves(state)
+    new = jax.tree_util.tree_leaves(new_state)
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+    # inference mode leaves state untouched and is deterministic
+    p1, _, s1 = apply_dpdist(params, new_state, cfg, pcA, pcB, train=False)
+    p2, _, _ = apply_dpdist(params, new_state, cfg, pcA, pcB, train=False)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
