@@ -66,6 +66,9 @@ def add_occlusions_np(source: np.ndarray, fraction: float,
     points (helper.add_occlusions, helper.py:963-982 semantics: the cloud
     keeps its size)."""
     B, N, _ = source.shape
+    if not 0.0 <= fraction < 1.0:
+        raise ValueError(
+            f"occlusion fraction must be in [0, 1), got {fraction}")
     n_drop = int(N * fraction)
     if n_drop == 0:
         return source
