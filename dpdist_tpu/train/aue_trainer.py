@@ -136,6 +136,26 @@ class AUETrainer:
                 )
         return float(np.mean(losses)) if losses else float("nan")
 
+    def eval_epoch(self, dataset, epoch: int):
+        """Held-out reconstruction quality: DPDist + squared chamfer means."""
+        dps, chs = [], []
+        dataset.reset()
+        while dataset.has_next_batch():
+            bd, _ = dataset.next_batch(augment=False)
+            if bd.shape[0] == 0:
+                continue
+            x1, x2 = split_same_surface(bd)
+            dp, ch = self._monitor(self.params, self.state,
+                                   jnp.asarray(x1), jnp.asarray(x2))
+            dps.append(float(dp))
+            chs.append(float(ch))
+        dp_m = float(np.mean(dps)) if dps else float("nan")
+        ch_m = float(np.mean(chs)) if chs else float("nan")
+        self.logger.log(f"eval DPDist {dp_m:f} chamfer {ch_m:f}")
+        self.logger.metrics(self.global_step, epoch=epoch,
+                            eval_dpdist=dp_m, eval_chamfer=ch_m)
+        return dp_m, ch_m
+
     def save(self, tag):
         path = os.path.join(self.run_dir, f"aue_ckpt_{tag}")
         save_checkpoint(path, {"params": self.params, "state": self.state},

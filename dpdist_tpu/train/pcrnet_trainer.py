@@ -117,6 +117,29 @@ class PCRNetTrainer:
                             train_loss=mean_loss, chamfer=ch)
         return mean_loss
 
+    def evaluate(self, dataset, *, num_cases: int = 64,
+                 iterations: int = None, report_dir: str = None):
+        """Periodic in-training evaluation (reference eval_one_epoch,
+        iterative_PCRNet_ours.py:336-338) via the standard protocol."""
+        from dpdist_tpu.eval.registration import evaluate_registration
+        import jax as _jax
+
+        rep = evaluate_registration(
+            _jax.device_get(self.params), self.pcfg, dataset,
+            num_cases=num_cases,
+            iterations=iterations or self.pcfg.eval_iterations,
+            report_dir=report_dir,
+        )
+        self.logger.log(
+            f"eval: rot {rep['rot_err_mean_deg']:.2f} deg, trans "
+            f"{rep['trans_err_mean']:.4f}, acc@(5,0.05) "
+            f"{rep['acc_rot5.0_trans0.05']:.3f}"
+        )
+        self.logger.metrics(self.global_step,
+                            eval_rot_err=rep["rot_err_mean_deg"],
+                            eval_trans_err=rep["trans_err_mean"])
+        return rep
+
     def save(self, tag):
         path = os.path.join(self.run_dir, f"pcrnet_ckpt_{tag}")
         save_checkpoint(path, {"params": self.params}, step=self.global_step,

@@ -84,3 +84,28 @@ def test_aue_reconstruct_and_checkpoint(tmp_path, rng):
     assert rec.shape == (2, 16, 3)
     path = tr.save("x")
     tr.restore(path)
+
+
+def test_aue_eval_epoch(tmp_path, rng):
+    dcfg, dparams, dstate = _frozen_dpdist()
+    acfg = AUEConfig(num_point=16)
+    tcfg = TrainConfig(batch_size=2, log_every=1000)
+    tr = AUETrainer(acfg, tcfg, dcfg, dparams, dstate,
+                    run_dir=str(tmp_path / "aue"))
+
+    class FakeDS:
+        def __init__(self):
+            self.i = 0
+            self.batch_size = 2
+        def reset(self):
+            self.i = 0
+        def has_next_batch(self):
+            return self.i < 2
+        def next_batch(self, augment=False):
+            self.i += 1
+            return (np.random.default_rng(self.i).uniform(
+                -0.7, 0.7, (2, 6 * 16, 3)).astype(np.float32),
+                np.zeros((2, 4 * 16), np.float32))
+
+    dp, ch = tr.eval_epoch(FakeDS(), 0)
+    assert np.isfinite(dp) and np.isfinite(ch)
