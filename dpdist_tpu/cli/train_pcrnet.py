@@ -29,6 +29,8 @@ def main(argv=None):
     p.add_argument("--noise_prob", type=float, default=0.0)
     p.add_argument("--templates_h5", default=None)
     p.add_argument("--resume", default=None, help="PCRNet checkpoint base path")
+    p.add_argument("--train_single", action="store_true",
+                   help="supervise every refinement iteration (reference --train_single)")
     a = p.parse_args(argv)
 
     from dpdist_tpu.configs import PCRNetConfig
@@ -48,6 +50,7 @@ def main(argv=None):
     tcfg = train_config_from_args(a)
 
     trainer = PCRNetTrainer(pcfg, tcfg, loss_type=a.loss_type, dpdist=dpdist,
+                            train_single=a.train_single,
                             run_dir=a.log_dir, mesh=mesh_from_args(a))
     if a.resume:
         trainer.restore(a.resume)

@@ -160,20 +160,25 @@ def _encode_3dmfv(params, cfg: PCRNetConfig, points):
 
 
 def pcrnet_refine(params, cfg: PCRNetConfig, source, template, *,
-                  iterations: int, stop_gradient_iters: bool = True):
+                  iterations: int, stop_gradient_iters: bool = True,
+                  return_trajectory: bool = False):
     """On-device iterative refinement.
 
     Args:
       source, template: (B, N, 3).
       iterations: number of refinement steps (static).
       stop_gradient_iters: if True, gradients only flow through the final
-        iteration — matching the reference's training scheme, which runs
-        MAX_LOOPS-1 inference-only iterations host-side and trains on the
-        last one (iterative_PCRNet_ours.py:414-468).
+        iteration — matching the reference's default training scheme,
+        which runs MAX_LOOPS-1 inference-only iterations host-side and
+        trains on the last one (iterative_PCRNet_ours.py:414-468). False
+        backpropagates through the whole refinement (the reference's
+        --train_single mode trains every iteration, :313-318).
+      return_trajectory: also return the per-iteration transformed
+        sources (iterations, B, N, 3) — used by train_single losses.
 
     Returns:
-      (transformed_source, T_total, poses) where T_total is (B, 4, 4) and
-      poses (iterations, B, 7) is the per-iteration pose history.
+      (transformed_source, T_total, poses[, trajectory]) where T_total is
+      (B, 4, 4) and poses (iterations, B, 7) the pose history.
     """
     B = source.shape[0]
     T0 = jnp.broadcast_to(jnp.eye(4, dtype=source.dtype), (B, 4, 4))
@@ -191,9 +196,13 @@ def pcrnet_refine(params, cfg: PCRNetConfig, source, template, *,
             new_src = jnp.where(is_last, new_src,
                                 jax.lax.stop_gradient(new_src))
             T_new = jnp.where(is_last, T_new, jax.lax.stop_gradient(T_new))
-        return (new_src, T_new), pose
+        out = (pose, new_src) if return_trajectory else pose
+        return (new_src, T_new), out
 
-    (src_out, T_out), poses = jax.lax.scan(
+    (src_out, T_out), ys = jax.lax.scan(
         step, (source, T0), jnp.arange(iterations)
     )
-    return src_out, T_out, poses
+    if return_trajectory:
+        poses, trajectory = ys
+        return src_out, T_out, poses, trajectory
+    return src_out, T_out, ys

@@ -39,6 +39,7 @@ class PCRNetTrainer:
     def __init__(self, pcfg: PCRNetConfig, tcfg: TrainConfig, *,
                  loss_type: str = "chamfer",
                  dpdist: Optional[tuple] = None,  # (cfg, params, state)
+                 train_single: bool = False,
                  run_dir: str = "runs/pcrnet", mesh=None,
                  logger: Optional[RunLogger] = None):
         assert loss_type in ("dpdist", "chamfer", "emd")
@@ -63,18 +64,30 @@ class PCRNetTrainer:
 
         cfg = pcfg
 
+        def single_loss(src, template):
+            if loss_type == "dpdist":
+                return dp_loss(src, template)
+            if loss_type == "chamfer":
+                return chamfer_distance(template, src, sqrt=True)
+            return earth_mover_distance(template, src)
+
         def loss_fn(p, s, batch):
             template, source = batch["template"], batch["source"]
+            if train_single:
+                # --train_single parity: every refinement iteration is
+                # supervised (iterative_PCRNet.py:313-318); gradients flow
+                # through the whole unrolled refinement.
+                _, _, _, traj = pcrnet_refine(
+                    p, cfg, source, template, iterations=cfg.max_loops,
+                    stop_gradient_iters=False, return_trajectory=True)
+                import jax as _jax
+
+                losses = _jax.vmap(lambda src: single_loss(src, template))(traj)
+                return jnp.mean(losses), s
             src_out, T, _ = pcrnet_refine(p, cfg, source, template,
                                           iterations=cfg.max_loops,
                                           stop_gradient_iters=True)
-            if loss_type == "dpdist":
-                loss = dp_loss(src_out, template)
-            elif loss_type == "chamfer":
-                loss = chamfer_distance(template, src_out, sqrt=True)
-            else:
-                loss = earth_mover_distance(template, src_out)
-            return loss, s
+            return single_loss(src_out, template), s
 
         init_opt, self._step = build_sharded_train_step(loss_fn, self.optimizer,
                                                         self.mesh)

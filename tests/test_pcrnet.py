@@ -139,3 +139,15 @@ def test_perturbed_registration_dataset():
     assert t.shape == (2, 64, 3) and s.shape == (2, 64, 3)
     t2, s2, _ = base.sample_batch(2)
     assert s.shape == s2.shape
+
+
+def test_pcrnet_train_single_mode(tmp_path):
+    ds = RegistrationDataset(n_templates=2, num_point=64,
+                             max_rotate_deg=10, seed=0)
+    tcfg = TrainConfig(batch_size=4, learning_rate=1e-3, log_every=1000)
+    tr = PCRNetTrainer(PCFG, tcfg, loss_type="chamfer", train_single=True,
+                       run_dir=str(tmp_path / "pcr_ts"))
+    template, source, _ = ds.sample_batch(4)
+    losses = [float(tr.train_step(template, source)["loss"]) for _ in range(15)]
+    assert all(np.isfinite(l) for l in losses)
+    assert min(losses[-5:]) < losses[0]
