@@ -80,9 +80,7 @@ class PCRNetTrainer:
                 _, _, _, traj = pcrnet_refine(
                     p, cfg, source, template, iterations=cfg.max_loops,
                     stop_gradient_iters=False, return_trajectory=True)
-                import jax as _jax
-
-                losses = _jax.vmap(lambda src: single_loss(src, template))(traj)
+                losses = jax.vmap(lambda src: single_loss(src, template))(traj)
                 return jnp.mean(losses), s
             src_out, T, _ = pcrnet_refine(p, cfg, source, template,
                                           iterations=cfg.max_loops,
@@ -135,10 +133,9 @@ class PCRNetTrainer:
         """Periodic in-training evaluation (reference eval_one_epoch,
         iterative_PCRNet_ours.py:336-338) via the standard protocol."""
         from dpdist_tpu.eval.registration import evaluate_registration
-        import jax as _jax
 
         rep = evaluate_registration(
-            _jax.device_get(self.params), self.pcfg, dataset,
+            jax.device_get(self.params), self.pcfg, dataset,
             num_cases=num_cases,
             iterations=iterations or self.pcfg.eval_iterations,
             report_dir=report_dir,
