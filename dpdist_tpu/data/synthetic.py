@@ -109,7 +109,48 @@ def _chair(n, rng, leg_h, seat_t, back_t):
     return np.concatenate(out, 0)
 
 
-SHAPE_FAMILIES = ("sphere", "box", "cylinder", "torus", "chair")
+def _cone(n, rng, r, h):
+    # lateral surface + base disk, area-weighted
+    slant = np.sqrt(r * r + h * h)
+    lat = np.pi * r * slant
+    base = np.pi * r * r
+    p = np.array([lat, base])
+    part = rng.choice(2, size=n, p=p / p.sum())
+    th = rng.uniform(0, 2 * np.pi, n)
+    pts = np.zeros((n, 3))
+    m = part == 0
+    # uniform on the lateral surface: radius ~ sqrt(u)
+    rr = r * np.sqrt(rng.uniform(0, 1, m.sum()))
+    pts[m] = np.stack([rr * np.cos(th[m]), rr * np.sin(th[m]),
+                       h * (1 - rr / r) - h / 2], -1)
+    m = part == 1
+    rr = r * np.sqrt(rng.uniform(0, 1, m.sum()))
+    pts[m] = np.stack([rr * np.cos(th[m]), rr * np.sin(th[m]),
+                       np.full(m.sum(), -h / 2)], -1)
+    return pts
+
+
+def _capsule(n, rng, r, h):
+    # cylinder barrel + two hemispherical caps, area-weighted
+    barrel = 2 * np.pi * r * h
+    caps = 4 * np.pi * r * r
+    part = rng.choice(2, size=n, p=np.array([barrel, caps]) / (barrel + caps))
+    th = rng.uniform(0, 2 * np.pi, n)
+    pts = np.zeros((n, 3))
+    m = part == 0
+    pts[m] = np.stack([r * np.cos(th[m]), r * np.sin(th[m]),
+                       rng.uniform(-h / 2, h / 2, m.sum())], -1)
+    m = part == 1
+    v = rng.normal(size=(m.sum(), 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    z_sign = np.sign(v[:, 2])
+    pts[m] = v * r
+    pts[m, 2] += z_sign * h / 2
+    return pts
+
+
+SHAPE_FAMILIES = ("sphere", "box", "cylinder", "torus", "chair", "cone",
+                  "capsule")
 
 
 def synthetic_surface(family: str, seed: int, n_points: int = 10000) -> np.ndarray:
@@ -133,6 +174,10 @@ def synthetic_surface(family: str, seed: int, n_points: int = 10000) -> np.ndarr
     elif family == "chair":
         pts = _chair(m, rng, rng.uniform(0.7, 1.0), rng.uniform(0.08, 0.14),
                      rng.uniform(0.08, 0.14))
+    elif family == "cone":
+        pts = _cone(m, rng, rng.uniform(0.4, 0.8), rng.uniform(0.8, 1.6))
+    elif family == "capsule":
+        pts = _capsule(m, rng, rng.uniform(0.25, 0.5), rng.uniform(0.6, 1.4))
     else:
         raise ValueError(f"unknown family {family!r}; options: {SHAPE_FAMILIES}")
     pts = _unit_scale(pts)
