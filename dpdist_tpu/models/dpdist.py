@@ -89,6 +89,9 @@ def init_dpdist(key, cfg: DPDistConfig):
             "fc": dense_init(ck[6], 16 * cfg.k ** 3 + cfg.dims, cfg.mlp[2]),
             "out": dense_init(ck[7], cfg.mlp[2], cfg.output_channels),
         }
+        if cfg.output_act == "relu":
+            # same dead-zone mitigation as the MLP decoder (see below)
+            dec["out"]["b"] = dec["out"]["b"] + 0.45
         params["decoder"] = dec
         state["decoder"] = {}
         return params, state
@@ -276,14 +279,20 @@ def apply_dpdist(params, state, cfg: DPDistConfig, pcA, pcB, *,
     # (dpdist_util.py:511).
     x = jnp.concatenate([xAB, xBA], axis=0)
     dtype = jnp.dtype(cfg.dtype)
+    dec_params = params["decoder"]
     if dtype != jnp.float32:
+        # True low-precision decoder: cast inputs AND params so the
+        # matmuls run natively in cfg.dtype (casting only x would promote
+        # straight back to fp32).
         x = x.astype(dtype)
+        dec_params = jax.tree_util.tree_map(lambda w: w.astype(dtype),
+                                            dec_params)
     if cfg.conv_version == 3 and cfg.k > 0:
-        y = _conv3d_decode(params["decoder"], cfg, x)
+        y = _conv3d_decode(dec_params, cfg, x)
         dec_state = {}
     else:
         y, dec_state = mlp_apply(
-            params["decoder"], state.get("decoder", {}), x, train=train,
+            dec_params, state.get("decoder", {}), x, train=train,
             bn_momentum=bn_momentum,
         )
     y = y.astype(jnp.float32)
