@@ -1,0 +1,80 @@
+"""CLI smoke tests: every entry point end-to-end on tiny configs."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory):
+    """Tiny dataset + DPDist checkpoint shared across CLI tests."""
+    root = tmp_path_factory.mktemp("cli")
+    data = str(root / "data")
+    from dpdist_tpu.cli.gen_data import main as gen_main
+
+    gen_main(["--out", data, "--families", "chair", "--n_train", "3",
+              "--n_test", "1", "--n_surface", "400",
+              "--num_neg_points", "200"])
+
+    from dpdist_tpu.cli.train_dpdist import main as train_main
+
+    log_dir = str(root / "dp")
+    train_main(["--data_root", data, "--log_dir", log_dir, "--max_epoch", "1",
+                "--batch_size", "2", "--num_point", "8",
+                "--embedding_size", "64", "--K", "3", "--mlp", "16", "16", "16",
+                "--eval_every", "1", "--data_parallel", "1"])
+    ckpts = [f[:-5] for f in os.listdir(log_dir) if f.endswith(".json")
+             and f.startswith("ckpt")]
+    assert ckpts
+    return {"data": data, "ckpt": os.path.join(log_dir, sorted(ckpts)[-1]),
+            "root": str(root)}
+
+
+def test_cli_eval_pair(cli_env, capsys):
+    from dpdist_tpu.cli.eval_pair import main
+
+    main(["--dpdist_ckpt", cli_env["ckpt"], "--num_point", "8"])
+    out = json.loads(capsys.readouterr().out)
+    assert set(out) == {"dpdist", "chamfer", "emd"}
+    assert all(np.isfinite(v) for v in out.values())
+
+
+def test_cli_train_aue(cli_env):
+    from dpdist_tpu.cli.train_aue import main
+
+    log = os.path.join(cli_env["root"], "aue")
+    main(["--dpdist_ckpt", cli_env["ckpt"], "--data_root", cli_env["data"],
+          "--log_dir", log, "--max_epoch_aue", "1", "--batch_size", "2",
+          "--num_point", "8", "--opt_type", "chamfer",
+          "--data_parallel", "1"])
+    assert any(f.startswith("aue_ckpt") for f in os.listdir(log))
+
+
+def test_cli_train_pcrnet_and_eval(cli_env):
+    from dpdist_tpu.cli.train_pcrnet import main as train_main
+    from dpdist_tpu.cli.eval_registration import main as eval_main
+
+    log = os.path.join(cli_env["root"], "pcr")
+    train_main(["--loss_type", "chamfer", "--num_point", "8",
+                "--max_loops", "2", "--out_features", "16",
+                "--n_templates", "2", "--max_epoch", "1",
+                "--batches_per_epoch", "1", "--batch_size", "2",
+                "--log_dir", log, "--data_parallel", "1"])
+    rep_dir = os.path.join(cli_env["root"], "rep")
+    eval_main(["--ckpt", os.path.join(log, "pcrnet_ckpt_final"),
+               "--iterations", "2", "--num_cases", "2", "--n_templates", "2",
+               "--report_dir", rep_dir, "--add_occlusions", "0.2"])
+    rep = json.load(open(os.path.join(rep_dir, "registration_report.json")))
+    assert rep["num_cases"] == 2
+
+
+def test_cli_compare_losses(cli_env, tmp_path):
+    from dpdist_tpu.cli.compare_losses import main
+
+    out = str(tmp_path / "cmp.json")
+    main(["--dpdist_ckpt", cli_env["ckpt"], "--n_surfaces", "2",
+          "--num_point", "8", "--kinds", "noise", "--out", out])
+    rep = json.load(open(out))
+    assert "noise" in rep and len(rep["noise"]["dpdist"]) == 5

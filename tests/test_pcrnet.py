@@ -43,16 +43,11 @@ def test_registration_dataset_gt_consistency():
     assert template.shape == (4, 64, 3) and source.shape == (4, 64, 3)
     # applying the (centroid-adjusted) gt pose to the template must give
     # the source exactly
-    rebuilt = apply_pose6_np(
-        np.asarray(ds.templates[:0]), np.zeros((0, 6))
-    )  # noop shape check
     T_gt = np.asarray(pose6_to_matrix(jnp.asarray(gt)))
     R = T_gt[:, :3, :3]
     t = T_gt[:, :3, 3]
     # source was built from the FULL template then truncated to num_point
     # with identical ordering (no random points), so compare directly
-    full = ds.templates[:, :, :]
-    # recompute: source rows correspond to template rows
     src2 = np.einsum("bij,bnj->bni", R, template) + t[:, None, :]
     np.testing.assert_allclose(src2, source, atol=1e-4)
 
