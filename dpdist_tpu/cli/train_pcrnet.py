@@ -57,13 +57,16 @@ def main(argv=None):
     ds = RegistrationDataset(h5_path=a.templates_h5, families=tuple(a.families),
                              n_templates=a.n_templates, num_point=a.num_point,
                              max_rotate_deg=a.max_rotate_deg, seed=a.seed)
-    for epoch in range(tcfg.max_epoch):
-        trainer.train_epoch(ds, epoch, batches_per_epoch=a.batches_per_epoch,
-                            random_points_prob=a.s_rand_points,
-                            noise_prob=a.noise_prob)
-        if epoch % 10 == 0:
-            trainer.save(tag="best")
-    trainer.save(tag="final")
+    eval_ds = RegistrationDataset(
+        h5_path=a.templates_h5, families=tuple(a.families),
+        n_templates=a.n_templates, num_point=a.num_point,
+        max_rotate_deg=a.max_rotate_deg, seed=a.seed + 10 ** 6)
+    best = trainer.fit(ds, epochs=tcfg.max_epoch,
+                       batches_per_epoch=a.batches_per_epoch,
+                       eval_dataset=eval_ds,
+                       random_points_prob=a.s_rand_points,
+                       noise_prob=a.noise_prob)
+    print(f"best checkpoint: {best}")
 
 
 if __name__ == "__main__":

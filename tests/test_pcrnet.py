@@ -165,3 +165,17 @@ def test_pcrnet_train_single_mode(tmp_path):
     gnorm = sum(float(np.abs(np.asarray(l)).max())
                 for l in jax.tree_util.tree_leaves(g))
     assert gnorm > 0  # iteration-0 loss reaches the params
+
+
+def test_pcrnet_fit_keeps_best(tmp_path):
+    ds = RegistrationDataset(n_templates=2, num_point=64, max_rotate_deg=10,
+                             seed=0)
+    eval_ds = RegistrationDataset(n_templates=2, num_point=64,
+                                  max_rotate_deg=10, seed=7)
+    tcfg = TrainConfig(batch_size=2, learning_rate=1e-3, log_every=1000)
+    tr = PCRNetTrainer(PCFG, tcfg, loss_type="chamfer",
+                       run_dir=str(tmp_path / "fit"))
+    best = tr.fit(ds, epochs=2, batches_per_epoch=2, eval_dataset=eval_ds,
+                  eval_every=1, eval_cases=2)
+    import os
+    assert os.path.exists(best + ".npz")
