@@ -161,14 +161,21 @@ class DPDistTrainer:
 
     def fit(self, train_dataset, test_dataset=None, *, max_epoch=None,
             eval_every: int = 10):
+        """Epoch loop with periodic eval; keeps ckpt_best on the lowest
+        held-out loss (the convergence runs previously did this by hand)."""
         max_epoch = max_epoch if max_epoch is not None else self.tcfg.max_epoch
+        best = float("inf")
         for epoch in range(max_epoch):
             self.train_epoch(train_dataset, epoch)
             if (epoch % eval_every == 0) and test_dataset is not None:
-                self.eval_epoch(test_dataset, epoch)
+                ev = self.eval_epoch(test_dataset, epoch)
+                if np.isfinite(ev) and ev < best:
+                    best = ev
+                    self.save(tag="best")
             if epoch % self.tcfg.checkpoint_every_epochs == 0:
                 self.save(tag=self.global_step)
         self.save(tag=self.global_step)
+        return best
 
     def save(self, tag):
         path = os.path.join(self.run_dir, f"ckpt_{tag}")

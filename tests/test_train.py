@@ -116,3 +116,17 @@ def test_eval_epoch(tiny_dataset, tmp_path):
                             split="test", num_neg_points=300, seed=0)
     loss = trainer.eval_epoch(ds, 0)
     assert np.isfinite(loss)
+
+
+def test_fit_keeps_best_checkpoint(tiny_dataset, tmp_path):
+    import os
+    tcfg = TrainConfig(batch_size=4, learning_rate=1e-3, augment=False,
+                       log_every=100, checkpoint_every_epochs=100)
+    trainer = DPDistTrainer(MCFG, tcfg, run_dir=str(tmp_path / "fit"))
+    ds = SurfacePairDataset(tiny_dataset, batch_size=4, npoints=32,
+                            num_neg_points=300, seed=0)
+    test_ds = SurfacePairDataset(tiny_dataset, batch_size=4, npoints=32,
+                                 split="test", num_neg_points=300, seed=0)
+    best = trainer.fit(ds, test_ds, max_epoch=2, eval_every=1)
+    assert np.isfinite(best)
+    assert os.path.exists(str(tmp_path / "fit" / "ckpt_best.npz"))
