@@ -24,6 +24,13 @@ def main(argv=None):
     p.add_argument("--templates_h5", default=None)
     p.add_argument("--report_dir", default="runs/registration_eval")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--s_rand_points", type=float, default=0.0)
+    p.add_argument("--sparse", type=int, default=0, choices=[0, 1, 2],
+                   help="disjoint template/source split (reference "
+                        "SPARSE_SAMPLING; the canonical bash uses 1)")
+    p.add_argument("--centroid_sub", type=int, default=1,
+                   help="subtract the source centroid (the reference "
+                        "evaluator forces 0 on the sparse path)")
     p.add_argument("--use_noise_data", action="store_true",
                    help="per-point gaussian noise on sources (helper.add_noise)")
     p.add_argument("--add_occlusions", type=float, default=0.0,
@@ -44,7 +51,9 @@ def main(argv=None):
 
     ds = RegistrationDataset(h5_path=a.templates_h5, families=tuple(a.families),
                              n_templates=a.n_templates, num_point=pcfg.num_point,
-                             max_rotate_deg=a.max_rotate_deg, seed=a.seed)
+                             max_rotate_deg=a.max_rotate_deg, seed=a.seed,
+                             sparse=a.sparse, s_rand_points=a.s_rand_points,
+                             centroid_sub=bool(a.centroid_sub))
     if a.use_noise_data or a.add_occlusions > 0:
         from dpdist_tpu.data.registration import PerturbedRegistrationDataset
 

@@ -26,6 +26,11 @@ def main(argv=None):
     p.add_argument("--log_dir", default="runs/pcrnet")
     p.add_argument("--batches_per_epoch", type=int, default=32)
     p.add_argument("--s_rand_points", type=float, default=0.0)
+    p.add_argument("--sparse", type=int, default=0, choices=[0, 1, 2],
+                   help="disjoint template/source split (reference "
+                        "SPARSE_SAMPLING; the canonical bash uses 1)")
+    p.add_argument("--centroid_sub", type=int, default=1,
+                   help="subtract the source centroid (canonical bash: 0)")
     p.add_argument("--noise_prob", type=float, default=0.0)
     p.add_argument("--templates_h5", default=None)
     p.add_argument("--resume", default=None, help="PCRNet checkpoint base path")
@@ -54,13 +59,13 @@ def main(argv=None):
                             run_dir=a.log_dir, mesh=mesh_from_args(a))
     if a.resume:
         trainer.restore(a.resume)
-    ds = RegistrationDataset(h5_path=a.templates_h5, families=tuple(a.families),
-                             n_templates=a.n_templates, num_point=a.num_point,
-                             max_rotate_deg=a.max_rotate_deg, seed=a.seed)
-    eval_ds = RegistrationDataset(
-        h5_path=a.templates_h5, families=tuple(a.families),
-        n_templates=a.n_templates, num_point=a.num_point,
-        max_rotate_deg=a.max_rotate_deg, seed=a.seed + 10 ** 6)
+    ds_kw = dict(h5_path=a.templates_h5, families=tuple(a.families),
+                 n_templates=a.n_templates, num_point=a.num_point,
+                 max_rotate_deg=a.max_rotate_deg, sparse=a.sparse,
+                 s_rand_points=a.s_rand_points,
+                 centroid_sub=bool(a.centroid_sub))
+    ds = RegistrationDataset(seed=a.seed, **ds_kw)
+    eval_ds = RegistrationDataset(seed=a.seed + 10 ** 6, **ds_kw)
     best = trainer.fit(ds, epochs=tcfg.max_epoch,
                        batches_per_epoch=a.batches_per_epoch,
                        eval_dataset=eval_ds,

@@ -111,14 +111,29 @@ class RegistrationDataset:
                  families: Sequence[str] = ("chair",),
                  n_templates: int = 16, num_point: int = 1024,
                  max_rotate_deg: float = 45.0, t_clip: float = 0.01,
-                 scale: float = 0.8, seed: int = 0):
+                 scale: float = 0.8, seed: int = 0,
+                 sparse: int = 0, s_rand_points: float = 0.0,
+                 centroid_sub: bool = True):
         """scale: synthetic templates are scaled like the reference's
         registration data, which is built from the *_dist_c_scaled (x0.8)
-        surfaces — also what a frozen DPDist loss was trained on."""
+        surfaces — also what a frozen DPDist loss was trained on.
+
+        sparse / s_rand_points / centroid_sub reproduce the reference's
+        CANONICAL experiment matrix (run_train_and_eval_PCRNet.bash:17-31:
+        SPARSE=1, SAMPLES=1.0, centroid_sub=0): with probability
+        s_rand_points the template and source are drawn as DISJOINT random
+        N-point subsets of the same surface (helper.split_template_source,
+        helper.py:925-961) — different samplings of one surface, the
+        regime the DPDist paper targets. sparse=1 pools the first 2N
+        points, sparse=2 the first 4N. centroid_sub=False skips the
+        source centroid subtraction (the bash default)."""
         self.rng = np.random.default_rng(seed)
         self.num_point = num_point
         self.max_rotate_deg = max_rotate_deg
         self.t_clip = t_clip
+        self.sparse = int(sparse)
+        self.s_rand_points = float(s_rand_points)
+        self.centroid_sub = bool(centroid_sub)
         if templates is not None:
             self.templates = templates.astype(np.float32)
         elif h5_path is not None:
@@ -134,22 +149,59 @@ class RegistrationDataset:
             ]) * scale
         assert self.templates.shape[1] >= num_point
 
-    def sample_batch(self, batch_size: int, *, random_points_prob: float = 0.0,
+    def _sample_sparse(self, template: np.ndarray, pose6: np.ndarray):
+        """helper.split_template_source (helper.py:925-961), SPARSE>=1:
+        pool the first 2*sparse*N points, one shared shuffle, template =
+        first N and source = next N (disjoint), THEN pose the source."""
+        N = self.num_point
+        pool = template[:, : 2 * self.sparse * N]
+        perm = self.rng.permutation(pool.shape[1])[: 2 * N]
+        template_n = pool[:, perm[:N]]
+        source_n = apply_pose6_np(np.ascontiguousarray(pool[:, perm[N:]]),
+                                  pose6)
+        return template_n, source_n
+
+    def sample_batch(self, batch_size: int, *,
+                     random_points_prob: Optional[float] = None,
                      noise_prob: float = 0.0, occlusion_fraction: float = 0.0):
-        """Training-batch synthesis (iterative_PCRNet_ours.py:380-408)."""
+        """Training-batch synthesis (iterative_PCRNet_ours.py:380-408).
+
+        random_points_prob defaults to the dataset's s_rand_points so
+        protocol-level sampling (e.g. the canonical sparse split) applies
+        to callers that don't pass per-batch options (the evaluator)."""
+        if random_points_prob is None:
+            random_points_prob = self.s_rand_points
         idx = self.rng.integers(0, len(self.templates), batch_size)
         template = self.templates[idx]
         pose6 = generate_poses(batch_size, max_rotate_deg=self.max_rotate_deg,
                                t_clip=self.t_clip, rng=self.rng)
+
+        if self.sparse > 0 and self.rng.uniform() < random_points_prob:
+            template_n, source_n = self._sample_sparse(template, pose6)
+            if self.centroid_sub:
+                c = source_n.mean(1, keepdims=True)
+                source_n = source_n - c
+                pose6 = pose6.copy()
+                pose6[:, :3] -= c[:, 0, :]
+            if self.rng.uniform() < noise_prob:
+                source_n = add_noise_np(source_n, self.rng)
+            if occlusion_fraction > 0:
+                source_n = add_occlusions_np(source_n, occlusion_fraction,
+                                             self.rng)
+            return (template_n.astype(np.float32),
+                    source_n.astype(np.float32), pose6)
+
         source = apply_pose6_np(template, pose6)
         # Centroid subtraction (iterative_PCRNet_ours.py:385; the evaluator
         # corrects the GT translation by the recorded centroid,
         # results_itrPCRNet_no_stop.py:300-309). Translation is applied
-        # last in pose6, so folding the shift into gt is exact.
-        c = source.mean(1, keepdims=True)
-        source = source - c
-        pose6 = pose6.copy()
-        pose6[:, :3] -= c[:, 0, :]
+        # last in pose6, so folding the shift into gt is exact. The
+        # reference's canonical bash runs centroid_sub=0.
+        if self.centroid_sub:
+            c = source.mean(1, keepdims=True)
+            source = source - c
+            pose6 = pose6.copy()
+            pose6[:, :3] -= c[:, 0, :]
 
         N = self.num_point
         if self.rng.uniform() < random_points_prob:

@@ -52,6 +52,57 @@ def test_registration_dataset_gt_consistency():
     np.testing.assert_allclose(src2, source, atol=1e-4)
 
 
+def test_sparse_split_disjoint_same_surface():
+    """Canonical-protocol sparse mode (helper.split_template_source,
+    SPARSE=1 + S_RAND_POINTS=1.0): template and source are DISJOINT
+    N-point subsets of the first 2N template points; the pose applies to
+    the source subset; no centroid subtraction."""
+    ds = RegistrationDataset(n_templates=2, num_point=64, seed=3,
+                             sparse=1, s_rand_points=1.0, centroid_sub=False)
+    template, source, gt = ds.sample_batch(4)
+    assert template.shape == (4, 64, 3) and source.shape == (4, 64, 3)
+    # un-pose the source with the exact gt and check every point lands in
+    # the template's full cloud but NOT in the 64-pt template subset
+    T_gt = np.asarray(pose6_to_matrix(jnp.asarray(gt)))
+    Rinv = np.transpose(T_gt[:, :3, :3], (0, 2, 1))
+    unposed = np.einsum("bij,bnj->bni", Rinv,
+                        source - T_gt[:, None, :3, 3])
+    for b in range(4):
+        # template row indices repeat across the batch (shared shuffle) —
+        # find the parent template by nearest match
+        d_tmpl = np.linalg.norm(
+            unposed[b][:, None, :] - template[b][None, :, :], axis=-1
+        ).min(1)
+        assert d_tmpl.min() > 1e-4, "source subset must be disjoint from template subset"
+    # gt consistency: the pool points are exact template surface points
+    full = ds.templates
+    d_any = min(
+        np.linalg.norm(unposed[0][:, None, :] - full[i][None, :128, :],
+                       axis=-1).min()
+        for i in range(len(full))
+    )
+    assert d_any < 1e-4, "unposed source points must lie on a template surface"
+
+
+def test_sparse_split_else_branch_same_points():
+    """With s_rand_points=0 the sparse dataset degrades to the same-index
+    path (split_template_source else-branch: both = first N points)."""
+    ds = RegistrationDataset(n_templates=2, num_point=32, seed=0,
+                             sparse=1, s_rand_points=0.0, centroid_sub=False)
+    template, source, gt = ds.sample_batch(2)
+    T_gt = np.asarray(pose6_to_matrix(jnp.asarray(gt)))
+    src2 = np.einsum("bij,bnj->bni", T_gt[:, :3, :3], template) \
+        + T_gt[:, None, :3, 3]
+    np.testing.assert_allclose(src2, source, atol=1e-4)
+
+
+def test_centroid_sub_off_keeps_raw_pose():
+    ds = RegistrationDataset(n_templates=2, num_point=32, seed=1,
+                             centroid_sub=False, t_clip=0.01)
+    _, _, gt = ds.sample_batch(8)
+    assert np.abs(gt[:, :3]).max() <= 0.01 + 1e-7
+
+
 def test_occlusions_keep_shape(rng):
     src = rng.normal(size=(2, 64, 3)).astype(np.float32)
     out = add_occlusions_np(src, 0.25, np.random.default_rng(0))
