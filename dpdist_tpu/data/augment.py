@@ -49,7 +49,7 @@ def rotate_perturbation_point_cloud(batch, rng, angle_sigma=0.06, angle_clip=0.1
         Ry = np.array([[np.cos(a[1]), 0, np.sin(a[1])], [0, 1, 0], [-np.sin(a[1]), 0, np.cos(a[1])]])
         Rz = np.array([[np.cos(a[2]), -np.sin(a[2]), 0], [np.sin(a[2]), np.cos(a[2]), 0], [0, 0, 1]])
         R = Rz @ Ry @ Rx
-        out[k] = batch[k] @ R.T
+        out[k] = batch[k] @ R  # the reference right-multiplies R (provider.py:183-184)
     return out
 
 
@@ -86,6 +86,53 @@ def shuffle_points(batch, rng):
     """Shuffle points (same permutation across the batch, provider.py:~70)."""
     idx = rng.permutation(batch.shape[1])
     return batch[:, idx].astype(np.float32)
+
+
+def rotate_point_cloud_with_normal(batch_xyz_normal, rng):
+    """Random Y-axis rotation of xyz AND normals, (B, N, 6)
+    (provider.py:72-91). Returns a new array (the reference mutates)."""
+    out = np.array(batch_xyz_normal, dtype=np.float32, copy=True)
+    for k in range(out.shape[0]):
+        a = rng.uniform() * 2 * np.pi
+        c, s = np.cos(a), np.sin(a)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        out[k, :, 0:3] = out[k, :, 0:3] @ R
+        out[k, :, 3:6] = out[k, :, 3:6] @ R
+    return out
+
+
+def rotate_perturbation_point_cloud_with_normal(batch, rng, angle_sigma=0.06,
+                                                angle_clip=0.18):
+    """Small random xyz-euler perturbation of xyz AND normals, (B, N, 6)
+    (provider.py:92-117)."""
+    out = np.empty_like(batch, dtype=np.float32)
+    for k in range(batch.shape[0]):
+        a = np.clip(angle_sigma * rng.standard_normal(3), -angle_clip, angle_clip)
+        Rx = np.array([[1, 0, 0], [0, np.cos(a[0]), -np.sin(a[0])], [0, np.sin(a[0]), np.cos(a[0])]])
+        Ry = np.array([[np.cos(a[1]), 0, np.sin(a[1])], [0, 1, 0], [-np.sin(a[1]), 0, np.cos(a[1])]])
+        Rz = np.array([[np.cos(a[2]), -np.sin(a[2]), 0], [np.sin(a[2]), np.cos(a[2]), 0], [0, 0, 1]])
+        R = Rz @ Ry @ Rx
+        out[k, :, 0:3] = batch[k, :, 0:3] @ R
+        out[k, :, 3:6] = batch[k, :, 3:6] @ R
+    return out
+
+
+def rotate_point_cloud_by_angle_with_normal(batch, angle):
+    """Fixed-angle Y-axis rotation of xyz AND normals, (B, N, 6)
+    (provider.py:138-160)."""
+    c, s = np.cos(angle), np.sin(angle)
+    R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    out = np.array(batch, dtype=np.float32, copy=True)
+    out[:, :, 0:3] = batch[:, :, 0:3] @ R
+    out[:, :, 3:6] = batch[:, :, 3:6] @ R
+    return out
+
+
+def shuffle_data(data, labels, rng):
+    """Co-shuffle (data, labels) along the batch axis; returns the
+    permutation too (provider.py:8-18)."""
+    idx = rng.permutation(len(labels))
+    return data[idx, ...], labels[idx], idx
 
 
 def augment_batch(batch, rng):

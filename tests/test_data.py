@@ -103,6 +103,50 @@ def test_dataset_iteration_and_reset(tiny_dataset):
     assert ds.has_next_batch()
 
 
+def test_uniform_sampling_schemes(rng):
+    """dataset_sample_with_gt.py:141-188: every non-cube scheme samples
+    inside the unit ball; the default (dropped_coordinates) is uniform in
+    VOLUME, so r^3 is uniform on [0,1] (mean 0.5)."""
+    from dpdist_tpu.data import uniform_sampling, SAMPLING_SCHEMES
+
+    n = 20000
+    for scheme in SAMPLING_SCHEMES:
+        pts = uniform_sampling(np.random.default_rng(0), n, scheme)
+        assert pts.shape == (n, 3)
+        r = np.linalg.norm(pts, axis=1)
+        if scheme == "cube":
+            assert np.abs(pts).max() <= 1.0
+            assert r.max() > 1.0  # corners exist — the old behavior
+        else:
+            assert r.max() <= 1.0 + 1e-6
+    r3 = np.linalg.norm(
+        uniform_sampling(np.random.default_rng(1), n, "dropped_coordinates"),
+        axis=1) ** 3
+    assert abs(r3.mean() - 0.5) < 0.01
+    for bad in ("nope",):
+        import pytest
+
+        with pytest.raises(ValueError):
+            uniform_sampling(np.random.default_rng(0), 4, bad)
+
+
+def test_gtgen_scheme_flows_through(tmp_path, rng):
+    """generate_gt_for_points with the default scheme: near/far labels are
+    true min distances and non-outside far points lie in the ball."""
+    from dpdist_tpu.data import generate_gt_for_points
+    from scipy.spatial.distance import cdist
+
+    dense = rng.uniform(-0.5, 0.5, (400, 3)).astype(np.float32)
+    surface, near, far = generate_gt_for_points(
+        dense, num_neg_points=200, rng=np.random.default_rng(0))
+    want = cdist(near[:, :3], surface).min(1)
+    np.testing.assert_allclose(near[:, 3], want, rtol=1e-3, atol=1e-4)
+    # all but the forced-outside 10% tail came from the unit ball
+    r = np.linalg.norm(far[:-20, :3], axis=1)
+    assert r.max() <= 1.0 + 1e-6
+    assert np.linalg.norm(far[-20:, :3], axis=1).min() > 1.0
+
+
 def test_augmentations_preserve_shape(rng):
     batch = rng.normal(size=(2, 64, 3)).astype(np.float32)
     for fn in (augment.rotate_point_cloud, augment.rotate_point_cloud_z,
@@ -113,6 +157,52 @@ def test_augmentations_preserve_shape(rng):
         out = fn(batch, np.random.default_rng(0))
         assert out.shape == batch.shape
         assert out.dtype == np.float32
+
+
+def test_with_normal_variants_rotate_normals_consistently(rng):
+    """The *_with_normal variants (provider.py:72-160) must apply the SAME
+    rotation to the xyz and normal channels: point-normal dot products are
+    rotation invariants."""
+    pts = rng.normal(size=(2, 32, 3)).astype(np.float32)
+    nrm = rng.normal(size=(2, 32, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=2, keepdims=True)
+    batch6 = np.concatenate([pts, nrm], axis=2)
+    dots = (pts * nrm).sum(2)
+    for fn in (
+        lambda b: augment.rotate_point_cloud_with_normal(b, np.random.default_rng(1)),
+        lambda b: augment.rotate_perturbation_point_cloud_with_normal(b, np.random.default_rng(1)),
+        lambda b: augment.rotate_point_cloud_by_angle_with_normal(b, 0.7),
+    ):
+        out = fn(batch6)
+        assert out.shape == batch6.shape and out.dtype == np.float32
+        np.testing.assert_allclose((out[..., :3] * out[..., 3:]).sum(2), dots,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.linalg.norm(out[..., 3:], axis=2), 1.0,
+                                   atol=1e-4)
+    # original array untouched (the reference mutates in place; we don't)
+    np.testing.assert_array_equal(batch6[..., :3], pts)
+
+
+def test_with_normal_xyz_matches_plain_variant(rng):
+    """Same RNG stream => the xyz part of the with-normal fn equals the
+    plain fn (they draw identically: one uniform / 3 normals per cloud)."""
+    pts = rng.normal(size=(2, 32, 3)).astype(np.float32)
+    batch6 = np.concatenate([pts, pts], axis=2)
+    a = augment.rotate_point_cloud(pts, np.random.default_rng(7))
+    b = augment.rotate_point_cloud_with_normal(batch6, np.random.default_rng(7))
+    np.testing.assert_allclose(a, b[..., :3], atol=1e-5)
+    a = augment.rotate_perturbation_point_cloud(pts, np.random.default_rng(7))
+    b = augment.rotate_perturbation_point_cloud_with_normal(
+        batch6, np.random.default_rng(7))
+    np.testing.assert_allclose(a, b[..., :3], atol=1e-5)
+
+
+def test_shuffle_data_coshuffles(rng):
+    data = rng.normal(size=(6, 4, 3)).astype(np.float32)
+    labels = np.arange(6)
+    d, l, idx = augment.shuffle_data(data, labels, np.random.default_rng(3))
+    np.testing.assert_array_equal(d, data[idx])
+    np.testing.assert_array_equal(l, labels[idx])
 
 
 def test_rotation_preserves_norms(rng):
