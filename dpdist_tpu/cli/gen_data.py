@@ -24,6 +24,10 @@ def main(argv=None):
     p.add_argument("--num_neg_points", type=int, default=10 ** 4)
     p.add_argument("--eps", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scheme", default="dropped_coordinates",
+                   help="query sampler: dropped_coordinates (reference "
+                        "default, unit ball) / cube / muller / polar / "
+                        "exponential (dataset_sample_with_gt.py:141-188)")
     p.add_argument("--from_modelnet", default=None,
                    help="process real ModelNet40 txt files from this root")
     p.add_argument("--category", default=None)
@@ -46,7 +50,8 @@ def main(argv=None):
                 pts = np.loadtxt(base + ".txt", delimiter=",").astype(np.float32)
                 rng = np.random.default_rng(a.seed + hash(sid) % 10 ** 6)
                 surface, near, far = generate_gt_for_points(
-                    pts, eps=a.eps, num_neg_points=a.num_neg_points, rng=rng
+                    pts, eps=a.eps, num_neg_points=a.num_neg_points, rng=rng,
+                    scheme=a.scheme,
                 )
                 write_reference_format(base, surface, near, far, a.num_neg_points)
                 print(f"{sid}: done ({time.time() - t0:.1f}s)")
@@ -57,6 +62,7 @@ def main(argv=None):
             a.out, families=tuple(a.families), n_train=a.n_train,
             n_test=a.n_test, n_surface=a.n_surface,
             num_neg_points=a.num_neg_points, eps=a.eps, seed=a.seed,
+            scheme=a.scheme,
         )
         print(f"synthetic dataset written to {a.out} "
               f"({time.time() - t0:.1f}s)")

@@ -84,15 +84,64 @@ def _uniform_cube(rng, n):
     return rng.uniform(-1, 1, (n, 3))
 
 
+#: Query-point sampling schemes (dataset_sample_with_gt.py:141-188).
+#: The reference's default is 'dropped_coordinates' (:88 calls
+#: uniform_sampeling with no type); all but 'cube' sample the unit BALL,
+#: so the far-point density is radial, not corner-weighted.
+SAMPLING_SCHEMES = ("dropped_coordinates", "cube", "muller", "polar",
+                    "exponential")
+
+
+def uniform_sampling(rng: np.random.Generator, n: int,
+                     scheme: str = "dropped_coordinates") -> np.ndarray:
+    """(n, 3) query points per the reference's uniform_sampeling schemes.
+
+    dropped_coordinates: uniform on S^4 (5 normals / 5-D norm), keep 3
+    coords -> uniform in the unit ball (the reference default, :171-179).
+    muller/polar/exponential: alternative unit-ball samplers (:148-170).
+    cube: uniform in [-1, 1]^3 (:146-147).
+    """
+    if scheme == "cube":
+        return rng.uniform(-1, 1, (n, 3))
+    if scheme == "dropped_coordinates":
+        g = rng.standard_normal((5, n))
+        norm = np.sqrt((g * g).sum(0))
+        return (g[2:] / norm).T
+    if scheme == "muller":
+        g = rng.standard_normal((3, n))
+        r = rng.uniform(size=n) ** (1.0 / 3.0)
+        norm = np.sqrt((g * g).sum(0))
+        return (r * g / norm).T
+    if scheme == "polar":
+        u = 2 * rng.uniform(size=n) - 1
+        phi = 2 * np.pi * rng.uniform(size=n)
+        r = rng.uniform(size=n) ** (1.0 / 3.0)
+        z = r * u
+        x = r * np.cos(phi) * (1.0 - z ** 2) ** 0.5
+        y = r * np.sin(phi) * (1.0 - z ** 2) ** 0.5
+        return np.stack([x, y, z], 1)
+    if scheme == "exponential":
+        g = rng.standard_normal((3, n))
+        e = rng.exponential(0.5, n)
+        denom = np.sqrt(e + (g * g).sum(0))
+        return (g / denom).T
+    raise ValueError(f"unknown sampling scheme {scheme!r}; "
+                     f"choose from {SAMPLING_SCHEMES}")
+
+
 def generate_gt_for_points(point_set: np.ndarray, *, eps: float = 0.05,
                            min_eps: float = 0.001, num_neg_points: int = 10 ** 4,
                            rng: np.random.Generator | None = None,
-                           scale: float = 0.8):
+                           scale: float = 0.8,
+                           scheme: str = "dropped_coordinates"):
     """Produce (scaled_surface, near_set, far_set) for one dense cloud.
 
     near/far sets are (num_neg_points, 4): xyz + GT distance, matching the
-    reference's file layout. 10% of the far set lies outside the unit
-    sphere (dataset_sample_with_gt.py:113-130).
+    reference's file layout. Query candidates come from `scheme`
+    (reference default: dropped_coordinates = uniform unit ball,
+    dataset_sample_with_gt.py:88,141-188). 10% of the far set is replaced
+    by cube-sampled points outside the unit sphere — the reference uses
+    type='cube' explicitly for that step (:118) regardless of scheme.
     """
     rng = rng or np.random.default_rng(0)
     surface = (point_set[:, :3] * scale).astype(np.float32)
@@ -101,7 +150,7 @@ def generate_gt_for_points(point_set: np.ndarray, *, eps: float = 0.05,
     near_parts, far_parts = [], []
     n_near = n_far = 0
     while n_near < num_neg_points:
-        cand = _uniform_cube(rng, 50000)
+        cand = uniform_sampling(rng, 50000, scheme)
         d = min_distances(cand, surface)
         with_d = np.concatenate([cand, d[:, None]], -1).astype(np.float32)
         sel_near = (d > min_eps) & (d < f * eps)
@@ -147,7 +196,8 @@ def generate_synthetic_dataset(root: str, *, families: Sequence[str] = ("chair",
                                n_train: int = 8, n_test: int = 2,
                                n_surface: int = 10000,
                                num_neg_points: int = 10 ** 4,
-                               eps: float = 0.05, seed: int = 0) -> None:
+                               eps: float = 0.05, seed: int = 0,
+                               scheme: str = "dropped_coordinates") -> None:
     """Create a ModelNet-layout synthetic dataset with GT distances.
 
     Produces the directory structure modelnet_dataset.ModelNetDataset
@@ -165,7 +215,8 @@ def generate_synthetic_dataset(root: str, *, families: Sequence[str] = ("chair",
             rng = np.random.default_rng(seed + i * 1000 + hash(fam) % 1000)
             dense = synthetic_surface(fam, seed=seed + i, n_points=n_surface)
             surface, near, far = generate_gt_for_points(
-                dense, eps=eps, num_neg_points=num_neg_points, rng=rng
+                dense, eps=eps, num_neg_points=num_neg_points, rng=rng,
+                scheme=scheme,
             )
             write_reference_format(os.path.join(root, fam, sid), surface,
                                    near, far, num_neg_points)
