@@ -20,7 +20,11 @@ def threedmfv_oracle(points, n_gaussians, sigma, flatten=False, full_fv=True):
         x, y, z = np.meshgrid(l, l, l)
         mu = np.stack([x.flatten(), y.flatten(), z.flatten()]).T
     G = mu.shape[0]
-    w = np.ones(G) / G
+    # follow the input dtype (TF1 runs the graph in float32; without this
+    # numpy's f64 linspace promotes the whole oracle to float64)
+    mu = mu.astype(points.dtype)
+    w = (np.ones(G) / G).astype(points.dtype)
+    sigma = points.dtype.type(sigma)
 
     # p_per_point: MultivariateNormalDiag prob, batch tiled
     diff = points[:, :, None, :] - mu[None, None, :, :]       # B,N,G,D
