@@ -46,8 +46,15 @@ def main(argv=None):
     with open(a.ckpt + ".json") as f:
         meta = json.load(f)["metadata"]
     pcfg = PCRNetConfig.from_json(meta["pcrnet_config"])
-    template_params, _ = init_pcrnet(jax.random.PRNGKey(0), pcfg)
-    tree, _, _ = restore_checkpoint(a.ckpt, {"params": template_params})
+    template_params, template_state = init_pcrnet(jax.random.PRNGKey(0), pcfg)
+    try:
+        tree, _, _ = restore_checkpoint(
+            a.ckpt, {"params": template_params, "state": template_state})
+        state = tree["state"]
+    except (KeyError, ValueError):
+        # pre-state checkpoint (round-1 format): params only
+        tree, _, _ = restore_checkpoint(a.ckpt, {"params": template_params})
+        state = None
 
     ds = RegistrationDataset(h5_path=a.templates_h5, families=tuple(a.families),
                              n_templates=a.n_templates, num_point=pcfg.num_point,
@@ -62,7 +69,7 @@ def main(argv=None):
     report = evaluate_registration(tree["params"], pcfg, ds,
                                    num_cases=a.num_cases,
                                    iterations=a.iterations,
-                                   report_dir=a.report_dir)
+                                   report_dir=a.report_dir, state=state)
     print(json.dumps({k: v for k, v in report.items()
                       if not k.startswith("curve_")}, indent=2))
 

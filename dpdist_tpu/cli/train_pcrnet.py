@@ -20,6 +20,10 @@ def main(argv=None):
     p.add_argument("--num_point", type=int, default=1024)
     p.add_argument("--max_loops", type=int, default=8)
     p.add_argument("--out_features", type=int, default=1024)
+    p.add_argument("--encoder", default="pointnet",
+                   choices=["pointnet", "pointnet_avg", "3dmfv"],
+                   help="siamese encoder (ipcr_model.py:198-233 pointnet; "
+                        ":29-52 3dmfv inception)")
     p.add_argument("--families", nargs="+", default=["chair"])
     p.add_argument("--n_templates", type=int, default=16)
     p.add_argument("--max_rotate_deg", type=float, default=45.0)
@@ -51,7 +55,7 @@ def main(argv=None):
         dpdist = load_dpdist_checkpoint(a.dpdist_ckpt)
 
     pcfg = PCRNetConfig(num_point=a.num_point, max_loops=a.max_loops,
-                        out_features=a.out_features)
+                        out_features=a.out_features, encoder=a.encoder)
     tcfg = train_config_from_args(a)
 
     trainer = PCRNetTrainer(pcfg, tcfg, loss_type=a.loss_type, dpdist=dpdist,

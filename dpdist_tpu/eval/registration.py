@@ -53,12 +53,13 @@ def accuracy_buckets(rot_err_deg: np.ndarray, trans_err: np.ndarray):
     return out
 
 
-def _eval_program(params, cfg: PCRNetConfig, template, source, gt_pose6,
-                  iterations: int):
-    """Per-iteration error curves, all on device."""
+def _eval_program(params, state, cfg: PCRNetConfig, template, source,
+                  gt_pose6, iterations: int):
+    """Per-iteration error curves, all on device. state carries the
+    3dmfv-encoder BN running stats (is_training=False semantics)."""
     _, _, poses = pcrnet_refine(params, cfg, source, template,
                                 iterations=iterations,
-                                stop_gradient_iters=False)
+                                stop_gradient_iters=False, state=state)
     B = template.shape[0]
     T_gt = pose6_to_matrix(gt_pose6)
     T0 = jnp.broadcast_to(jnp.eye(4, dtype=template.dtype), (B, 4, 4))
@@ -76,7 +77,7 @@ def _eval_program(params, cfg: PCRNetConfig, template, source, gt_pose6,
 def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
                           num_cases: int = 64, iterations: Optional[int] = None,
                           batch_size: int = 64, report_dir: Optional[str] = None,
-                          seed: int = 0):
+                          seed: int = 0, state=None):
     """Run the fixed-iteration protocol and produce the reference's report.
 
     Returns a dict with final mean/var errors, accuracy buckets, timing,
@@ -91,7 +92,7 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
     while n_done < num_cases:
         b = min(batch_size, num_cases - n_done)
         template, source, gt = dataset.sample_batch(b)
-        _, te, re, ce = program(params, cfg, jnp.asarray(template),
+        _, te, re, ce = program(params, state, cfg, jnp.asarray(template),
                                 jnp.asarray(source), jnp.asarray(gt),
                                 iterations)
         all_te.append(np.asarray(te))

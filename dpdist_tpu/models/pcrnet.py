@@ -25,15 +25,24 @@ from dpdist_tpu.nn.layers import dense_init, dense_apply, dropout
 from dpdist_tpu.ops.threedmfv import threedmfv
 
 
+#: EMA momentum for the 3dmfv-encoder batch norms. The reference schedules
+#: bn_decay from 0.5 toward 0.99 (get_bn_decay,
+#: train_multi_gpu_pc_compare_dist.py:992-1000); a fixed mid-schedule value
+#: keeps the state pytree free of a step counter.
+BN_MOMENTUM = 0.9
+
+
 def init_pcrnet(key, cfg: PCRNetConfig):
     keys = jax.random.split(key, 10)
     params = {}
+    state = {}
     if cfg.encoder == "3dmfv":
         # 6-block 3D inception encoder (ipcr_model.get_3dmfv_encoder:29-52):
         # filters (64,)*5 + (out/16,), stride-2 maxpools after blocks 2, 4.
         from dpdist_tpu.nn.layers import conv3d_init
 
         blocks = []
+        bn_state = []
         bkeys = jax.random.split(keys[0], 6)
         in_ch = 20
         filters = [64, 64, 64, 64, 64, cfg.out_features // 16]
@@ -45,8 +54,13 @@ def init_pcrnet(key, cfg: PCRNetConfig):
                 "five": conv3d_init(ck[2], nf, nf, (5, 5, 5)),
                 "avg": conv3d_init(ck[3], in_ch, nf, (1, 1, 1)),
             })
+            bn_state.append({
+                name: {"mean": jnp.zeros(nf), "var": jnp.ones(nf)}
+                for name in ("one", "three", "five", "avg")
+            })
             in_ch = 4 * nf
         params["mfv_blocks"] = blocks
+        state["mfv_bn"] = bn_state
         # spatial 8 -> 4 -> 2 after two stride-2 pools; flattened feature:
         feat_dim = 8 * 4 * filters[-1]  # 2^3 * (4 * out/16) = out/2 * 4
     else:
@@ -69,7 +83,7 @@ def init_pcrnet(key, cfg: PCRNetConfig):
     out = dense_init(keys[8], d, 7)
     params["head"] = head
     params["out"] = out
-    return params, {}
+    return params, state
 
 
 def _encode(params, cfg: PCRNetConfig, points):
@@ -100,14 +114,29 @@ def _quat_limit(pose_raw, rot_lim_deg: float):
 
 
 def apply_pcrnet(params, cfg: PCRNetConfig, source, template, *,
-                 train: bool = False, dropout_key: Optional[jax.Array] = None):
-    """Predict a 7-dof pose (tx, ty, tz, qw, qx, qy, qz) for one iteration."""
+                 train: bool = False, dropout_key: Optional[jax.Array] = None,
+                 state=None, return_state: bool = False):
+    """Predict a 7-dof pose (tx, ty, tz, qw, qx, qy, qz) for one iteration.
+
+    state carries the 3dmfv-encoder BN running statistics (init_pcrnet's
+    second return). train=True normalizes with batch statistics and EMA-
+    updates the returned state (tf_util.batch_norm is_training=True,
+    utils/tf_util.py:515-577); train=False uses the running statistics so
+    eval output does not depend on batch composition. state=None falls
+    back to batch statistics (pre-state checkpoints).
+    """
     if cfg.encoder == "3dmfv":
-        sf = _encode_3dmfv(params, cfg, source)
-        tf_ = _encode_3dmfv(params, cfg, template)
+        # the reference encodes source+template as ONE batch through the
+        # shared (BN'd) conv stack (ipcr_model.py:199-205), so BN batch
+        # statistics span both clouds — concat before encoding.
+        both = jnp.concatenate([source, template], axis=0)
+        feats, new_state = _encode_3dmfv(params, cfg, both, state=state,
+                                         train=train)
+        sf, tf_ = jnp.split(feats, 2, axis=0)
     else:
         sf = _encode(params, cfg, source)
         tf_ = _encode(params, cfg, template)
+        new_state = state
     x = jnp.concatenate([sf, tf_], axis=-1)
     for lp in params["head"]:
         x = jax.nn.relu(dense_apply(lp, x))
@@ -116,19 +145,21 @@ def apply_pcrnet(params, cfg: PCRNetConfig, source, template, *,
     pose = dense_apply(params["out"], x)
     if cfg.lim_rot > 0:
         pose = _quat_limit(pose, cfg.lim_rot)
+    if return_state:
+        return pose, new_state
     return pose
 
 
-def _encode_3dmfv(params, cfg: PCRNetConfig, points):
+def _encode_3dmfv(params, cfg: PCRNetConfig, points, *, state=None,
+                  train: bool = False):
     """3DmFV + 6-block 3D inception encoder
     (ipcr_model.get_3dmfv_encoder:29-52): FV volume -> inception blocks
     (1x1, 3x3 and 5x5 off the 1x1, avg-pool+1x1; concat) with stride-2
     maxpools after blocks 2 and 4 -> flatten.
 
-    The reference applies BN inside each conv (tf_util.conv3d bn=True);
-    here normalization uses current-batch statistics (the reference's
-    is_training=True behavior) — running-stat inference BN is intentionally
-    not carried for this non-default encoder variant.
+    The reference applies BN inside each conv (tf_util.conv3d bn=True).
+    Returns (features, new_state); new_state carries EMA-updated running
+    statistics when train=True, else the input state unchanged.
     """
     from dpdist_tpu.nn.layers import conv3d_apply
 
@@ -137,31 +168,53 @@ def _encode_3dmfv(params, cfg: PCRNetConfig, points):
     fv = threedmfv(points, g ** 3, cfg.sigma3dmfv)          # (B, V, 20)
     x = fv.reshape(B, g, g, g, -1)
 
-    def bn(h):
-        m = jnp.mean(h, axis=(0, 1, 2, 3), keepdims=True)
-        v = jnp.var(h, axis=(0, 1, 2, 3), keepdims=True)
+    bn_in = state.get("mfv_bn") if state else None
+    bn_out = [] if bn_in is not None else None
+
+    def bn(h, i, name):
+        if bn_in is None:
+            m = jnp.mean(h, axis=(0, 1, 2, 3))
+            v = jnp.var(h, axis=(0, 1, 2, 3))
+        elif train:
+            m = jnp.mean(h, axis=(0, 1, 2, 3))
+            v = jnp.var(h, axis=(0, 1, 2, 3))
+            old = bn_in[i][name]
+            bn_out[i][name] = {
+                "mean": BN_MOMENTUM * old["mean"] + (1 - BN_MOMENTUM) * m,
+                "var": BN_MOMENTUM * old["var"] + (1 - BN_MOMENTUM) * v,
+            }
+        else:
+            m, v = bn_in[i][name]["mean"], bn_in[i][name]["var"]
         return (h - m) * jax.lax.rsqrt(v + 1e-3)
 
     for i, blk in enumerate(params["mfv_blocks"]):
-        one = jax.nn.relu(bn(conv3d_apply(blk["one"], x)))
-        three = jax.nn.relu(bn(conv3d_apply(blk["three"], one)))
-        five = jax.nn.relu(bn(conv3d_apply(blk["five"], one)))
+        if bn_out is not None:
+            bn_out.append(dict(bn_in[i]))
+        one = jax.nn.relu(bn(conv3d_apply(blk["one"], x), i, "one"))
+        three = jax.nn.relu(bn(conv3d_apply(blk["three"], one), i, "three"))
+        five = jax.nn.relu(bn(conv3d_apply(blk["five"], one), i, "five"))
         avg = jax.lax.reduce_window(
             x, 0.0, jax.lax.add, (1, 3, 3, 3, 1), (1, 1, 1, 1, 1), "SAME"
         ) / 27.0
-        avgc = jax.nn.relu(bn(conv3d_apply(blk["avg"], avg)))
+        avgc = jax.nn.relu(bn(conv3d_apply(blk["avg"], avg), i, "avg"))
         x = jnp.concatenate([one, three, five, avgc], axis=-1)
         if i in (2, 4):
             x = jax.lax.reduce_window(
                 x, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1),
                 "SAME",
             )
-    return x.reshape(B, -1)
+    new_state = state
+    if bn_out is not None and train:
+        new_state = dict(state)
+        new_state["mfv_bn"] = bn_out
+    return x.reshape(B, -1), new_state
 
 
 def pcrnet_refine(params, cfg: PCRNetConfig, source, template, *,
                   iterations: int, stop_gradient_iters: bool = True,
-                  return_trajectory: bool = False):
+                  return_trajectory: bool = False,
+                  state=None, train: bool = False,
+                  return_state: bool = False):
     """On-device iterative refinement.
 
     Args:
@@ -175,18 +228,25 @@ def pcrnet_refine(params, cfg: PCRNetConfig, source, template, *,
         --train_single mode trains every iteration, :313-318).
       return_trajectory: also return the per-iteration transformed
         sources (iterations, B, N, 3) — used by train_single losses.
+      state / train: BN running statistics for the 3dmfv encoder (see
+        apply_pcrnet). train=True EMA-updates the state on every
+        refinement iteration (the reference updates once, on the final
+        train pass — a slightly faster effective decay, documented).
+      return_state: append the updated state to the returned tuple.
 
     Returns:
-      (transformed_source, T_total, poses[, trajectory]) where T_total is
-      (B, 4, 4) and poses (iterations, B, 7) the pose history.
+      (transformed_source, T_total, poses[, trajectory][, state]) where
+      T_total is (B, 4, 4) and poses (iterations, B, 7) the pose history.
     """
     B = source.shape[0]
     T0 = jnp.broadcast_to(jnp.eye(4, dtype=source.dtype), (B, 4, 4))
+    carry_state = state is not None and train and cfg.encoder == "3dmfv"
 
     def step(carry, i):
-        src, T = carry
+        src, T, st = carry
         is_last = i == iterations - 1
-        pose = apply_pcrnet(params, cfg, src, template)
+        pose, st = apply_pcrnet(params, cfg, src, template, state=st,
+                                train=train, return_state=True)
         q = normalize_quat(pose[..., 3:7])
         t = pose[..., :3]
         new_src = apply_quat(src, q, t)
@@ -196,13 +256,20 @@ def pcrnet_refine(params, cfg: PCRNetConfig, source, template, *,
             new_src = jnp.where(is_last, new_src,
                                 jax.lax.stop_gradient(new_src))
             T_new = jnp.where(is_last, T_new, jax.lax.stop_gradient(T_new))
+        if not carry_state:
+            st = carry[2]
         out = (pose, new_src) if return_trajectory else pose
-        return (new_src, T_new), out
+        return (new_src, T_new, st), out
 
-    (src_out, T_out), ys = jax.lax.scan(
-        step, (source, T0), jnp.arange(iterations)
+    (src_out, T_out, state_out), ys = jax.lax.scan(
+        step, (source, T0, state), jnp.arange(iterations)
     )
+    ret = (src_out, T_out)
     if return_trajectory:
         poses, trajectory = ys
-        return src_out, T_out, poses, trajectory
-    return src_out, T_out, ys
+        ret += (poses, trajectory)
+    else:
+        ret += (ys,)
+    if return_state:
+        ret += (state_out,)
+    return ret

