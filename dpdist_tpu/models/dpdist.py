@@ -150,6 +150,13 @@ def dpdist_embed(params, state, cfg: DPDistConfig, points, *, train: bool = Fals
     Returns (table, new_state):
       k > 0: table is the (B, V, k^3*C) local-patch table;
       k == 0: table is the (B, E) global embedding.
+
+    With cfg.dtype != float32 the patch table is emitted in cfg.dtype:
+    the FV cast fuses into the patch-extraction copy so the (B, V, k^3*C)
+    table — the forward's largest tensor, ~1.3 GB at B=256 in f32 — is
+    written and re-read at half the bytes, and the one-hot gather matmul
+    runs on the MXU in cfg.dtype. The 3DmFV math itself stays exact f32
+    (bf16 responsibility logits are too coarse; see ops/threedmfv.py).
     """
     if cfg.encoder == "pointnet":
         emb, ns = _pointnet_encode(params["pointnet"], state.get("pointnet", {}),
@@ -157,6 +164,9 @@ def dpdist_embed(params, state, cfg: DPDistConfig, points, *, train: bool = Fals
         return emb, {"pointnet": ns}
     fv = threedmfv(points, cfg.embedding_size, cfg.sigma,
                    flatten=(cfg.k == 0), full_fv=cfg.full_fv)
+    dtype = jnp.dtype(cfg.dtype)
+    if dtype != jnp.float32:
+        fv = fv.astype(dtype)
     if cfg.k == 0:
         return fv, {}
     if cfg.dims == 2:
@@ -201,15 +211,19 @@ def _conv3d_decode(dec, cfg: DPDistConfig, x):
 
 
 def _decoder_inputs(cfg: DPDistConfig, queries, table):
-    """Build (B, N, in_dim) decoder inputs + (B, N) mask for one direction."""
+    """Build (B, N, in_dim) decoder inputs + (B, N) mask for one direction.
+
+    The assembled input follows the table's dtype (bf16 tables produce
+    bf16 decoder inputs; coordinates/membership are computed in f32 and
+    the delta cast down at the concat)."""
     if cfg.k > 0:
         vox, mask, delta = voxel_assign(queries, cfg.grid_size)
         emb = gather_patches(table, vox, mask)
-        x = jnp.concatenate([delta, emb], axis=-1)
+        x = jnp.concatenate([delta.astype(table.dtype), emb], axis=-1)
         return x, mask
     B, N, _ = queries.shape
     emb = jnp.broadcast_to(table[:, None, :], (B, N, table.shape[-1]))
-    x = jnp.concatenate([queries, emb], axis=-1)
+    x = jnp.concatenate([queries.astype(table.dtype), emb], axis=-1)
     return x, jnp.ones((B, N), queries.dtype)
 
 

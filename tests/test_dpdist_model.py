@@ -34,6 +34,28 @@ def test_outside_grid_points_masked(rng):
     np.testing.assert_allclose(np.asarray(predAB[:, :4]), 0.0, atol=1e-7)
 
 
+def test_bf16_decoder_path_tracks_f32(rng):
+    """cfg.dtype='bfloat16' runs the patch table + one-hot gather + decoder
+    in bf16 (the serving/throughput config). Values must track the f32
+    path within bf16 resolution and the mask zeroing must be exact."""
+    params, state = init_dpdist(jax.random.PRNGKey(0), CFG)
+    cfg16 = DPDistConfig(num_point=16, embedding_size=64, k=3,
+                         mlp=(64, 64, 64), dtype="bfloat16")
+    pcA, pcB = _clouds(rng)
+    pcB = pcB.at[:, :4].set(5.0)  # off-grid queries stay exactly zero
+    a32, b32, _ = apply_dpdist(params, state, CFG, pcA, pcB)
+    a16, b16, _ = apply_dpdist(params, state, cfg16, pcA, pcB)
+    assert a16.dtype == jnp.float32  # output restored to f32
+    np.testing.assert_allclose(np.asarray(a16[:, :4]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a16), np.asarray(a32), atol=0.03)
+    np.testing.assert_allclose(np.asarray(b16), np.asarray(b32), atol=0.03)
+
+    # frozen-loss gradients flow through the bf16 path and stay finite
+    loss16 = make_frozen_dpdist_loss(params, state, cfg16)
+    g = jax.grad(lambda s: loss16(s, pcA))(pcB * 0.1)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_jit_and_grad(rng):
     params, state = init_dpdist(jax.random.PRNGKey(1), CFG)
     pcA, pcB = _clouds(rng)
