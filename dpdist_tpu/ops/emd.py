@@ -49,8 +49,15 @@ def _sinkhorn_plan(cost, iters: int, eps_schedule):
 
 
 def _eps_schedule(iters: int, eps_start: float, eps_end: float):
-    t = jnp.linspace(0.0, 1.0, iters)
-    return eps_start * (eps_end / eps_start) ** t
+    """Geometric anneal for the first 2/3 of iterations, then hold at
+    eps_end: the plan needs converged potentials AT the final temperature
+    (measured: grad cosine vs the exact assignment rises 0.957 -> 0.977
+    with held final-eps iterations, scripts/emd_grad_quality.py)."""
+    n_anneal = max(iters * 2 // 3, 1)
+    t = jnp.linspace(0.0, 1.0, n_anneal)
+    anneal = eps_start * (eps_end / eps_start) ** t
+    hold = jnp.full((iters - n_anneal,), eps_end)
+    return jnp.concatenate([anneal, hold])
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
