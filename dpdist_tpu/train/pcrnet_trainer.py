@@ -103,6 +103,11 @@ class PCRNetTrainer:
             return chamfer_distance(template, src_out, sqrt=True)
 
         self._monitor = jax.jit(monitor)
+        # Fixed probe batch for the chamfer monitor: the reference logs
+        # chamfer on the current train batch (iterative_PCRNet_ours.py:253),
+        # a noisy, biased signal; a batch frozen at the first epoch makes
+        # the logged curve comparable across epochs.
+        self._probe = None
 
     def train_step(self, template: np.ndarray, source: np.ndarray):
         batch = shard_batch({"template": template, "source": source}, self.mesh)
@@ -120,11 +125,12 @@ class PCRNetTrainer:
                 self.tcfg.batch_size, random_points_prob=random_points_prob,
                 noise_prob=noise_prob,
             )
+            if self._probe is None:
+                self._probe = (jnp.asarray(template), jnp.asarray(source))
             m = self.train_step(template, source)
             losses.append(float(m["loss"]))
         mean_loss = float(np.mean(losses))
-        ch = float(self._monitor(self.params, self.state,
-                                 jnp.asarray(template), jnp.asarray(source)))
+        ch = float(self._monitor(self.params, self.state, *self._probe))
         self.logger.log(f" ---- epoch: {epoch + 1:03d} ---- mean loss: "
                         f"{mean_loss:f} (chamfer {ch:f})")
         self.logger.metrics(self.global_step, epoch=epoch,
