@@ -32,6 +32,11 @@ def add_dpdist_model_args(p: argparse.ArgumentParser):
     p.add_argument("--implicit_net_type", type=int, default=1, choices=[1, 3])
     p.add_argument("--BN", type=int, default=0)
     p.add_argument("--mlp", type=int, nargs="+", default=[1024, 1024, 1024])
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="decoder + patch-table compute dtype (bfloat16 "
+                        "halves the table bytes and runs the MXU at its "
+                        "native precision; 3DmFV math stays f32)")
 
 
 def dpdist_config_from_args(a) -> DPDistConfig:
@@ -45,6 +50,7 @@ def dpdist_config_from_args(a) -> DPDistConfig:
         conv_version=a.implicit_net_type,
         encoder=a.encoder,
         use_bn=bool(a.BN),
+        dtype=a.dtype,
     )
 
 

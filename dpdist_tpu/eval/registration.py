@@ -139,6 +139,17 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
             for i in range(iterations):
                 w.writerow([i, float(re[i].mean()), float(te[i].mean()),
                             float(ce[i].mean())])
+        # log_data.h5 parity (results_itrPCRNet_no_stop.py:427-431): the
+        # raw per-iteration, per-case TE/RE/CE curves, (iterations, cases).
+        try:
+            import h5py
+
+            with h5py.File(os.path.join(report_dir, "log_data.h5"), "w") as hf:
+                hf.create_dataset("TE", data=te)
+                hf.create_dataset("RE", data=re)
+                hf.create_dataset("CE", data=ce)
+        except ImportError:
+            pass
         from dpdist_tpu.eval.viz import save_iteration_curves, save_error_histograms
 
         save_iteration_curves(

@@ -235,6 +235,11 @@ def test_evaluate_registration_report(tmp_path):
         assert 0.0 <= rep[k] <= 1.0
     assert (tmp_path / "rep" / "registration_report.json").exists()
     assert (tmp_path / "rep" / "iteration_curves.csv").exists()
+    import h5py
+
+    with h5py.File(tmp_path / "rep" / "log_data.h5", "r") as hf:
+        assert hf["RE"].shape == (4, 8)  # (iterations, cases) raw curves
+        assert hf["TE"].shape == (4, 8) and hf["CE"].shape == (4, 8)
 
 
 def test_identity_refinement_has_zero_error():
