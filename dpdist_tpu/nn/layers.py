@@ -92,6 +92,76 @@ def conv3d_apply(params, x, *, stride: Tuple[int, int, int] = (1, 1, 1),
     return y + params["b"]
 
 
+def conv2d_init(key, in_ch: int, out_ch: int, kernel: Tuple[int, int],
+                dtype=jnp.float32):
+    """tf_util.conv2d parity (utils/tf_util.py:161-229): xavier over the
+    full receptive field."""
+    kh, kw = kernel
+    rf = kh * kw
+    w = xavier_uniform(key, (kh, kw, in_ch, out_ch), rf * in_ch, rf * out_ch,
+                       dtype)
+    return {"w": w, "b": jnp.zeros((out_ch,), dtype)}
+
+
+def conv2d_apply(params, x, *, stride: Tuple[int, int] = (1, 1),
+                 padding: str = "SAME"):
+    """x: (B, H, W, C) -> (B, H', W', C')."""
+    y = jax.lax.conv_general_dilated(
+        x, params["w"], window_strides=stride, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + params["b"]
+
+
+def conv2d_transpose_apply(params, x, *, stride: Tuple[int, int] = (2, 2),
+                           padding: str = "SAME"):
+    """Transposed conv (tf_util.conv2d_transpose, utils/tf_util.py:231-301).
+
+    Shares conv2d_init parameters; output spatial dims = input * stride for
+    SAME padding, matching the reference's get_deconv_dim arithmetic.
+    """
+    kh, kw, in_ch, out_ch = params["w"].shape
+    y = jax.lax.conv_transpose(
+        x, params["w"], strides=stride, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + params["b"]
+
+
+def _pool(x, window, stride, padding, *, op, ndim):
+    dims = (1,) + tuple(window) + (1,)
+    strides = (1,) + tuple(stride) + (1,)
+    if op == "max":
+        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims, strides,
+                                     padding)
+    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, padding)
+    if padding == "VALID":
+        return s / float(math.prod(window))
+    ones = jnp.ones_like(x)
+    cnt = jax.lax.reduce_window(ones, 0.0, jax.lax.add, dims, strides, padding)
+    return s / cnt
+
+
+def max_pool2d(x, window=(2, 2), *, stride=None, padding="VALID"):
+    """(B, H, W, C) max pool (tf_util.max_pool2d, utils/tf_util.py:410-433)."""
+    return _pool(x, window, stride or window, padding, op="max", ndim=2)
+
+
+def avg_pool2d(x, window=(2, 2), *, stride=None, padding="VALID"):
+    """(B, H, W, C) avg pool (tf_util.avg_pool2d, utils/tf_util.py:435-459)."""
+    return _pool(x, window, stride or window, padding, op="avg", ndim=2)
+
+
+def max_pool3d(x, window=(2, 2, 2), *, stride=None, padding="VALID"):
+    """(B, D, H, W, C) max pool (tf_util.max_pool3d, utils/tf_util.py:461-484)."""
+    return _pool(x, window, stride or window, padding, op="max", ndim=3)
+
+
+def avg_pool3d(x, window=(2, 2, 2), *, stride=None, padding="VALID"):
+    """(B, D, H, W, C) avg pool (tf_util.avg_pool3d, utils/tf_util.py:486-510)."""
+    return _pool(x, window, stride or window, padding, op="avg", ndim=3)
+
+
 # ---------------------------------------------------------------------------
 # BatchNorm (feature-axis, EMA running stats)
 # ---------------------------------------------------------------------------
