@@ -57,7 +57,9 @@ class DPDistConfig(_JsonMixin):
     use_bn: bool = False          # reference default BN=0
     output_channels: int = 3      # decoder output channels; loss uses channel 0
     dtype: str = "float32"        # compute dtype for the decoder matmuls
-    fused_gather: str = "auto"    # "auto" | "on" | "off": VMEM patch gather
+    fused_gather: str = "auto"    # "auto" | "on" | "table" | "off":
+                                  # 'on' = per-query VMEM gather kernel,
+                                  # 'table' = VMEM patch-table kernel
                                   # (skips the k^3 patch table; TPU only)
 
     @property

@@ -1,0 +1,138 @@
+"""Fused patch-table + gather: build each cloud's k^3 patch table in VMEM.
+
+The XLA path materializes the (B, V, k^3*C) patch table in HBM
+(ops/voxel.extract_patches) and fetches query rows with a one-hot matmul
+(gather_patches) — at the canonical config (B=256, V=512, k=5, C=20) the
+table is the forward's largest tensor (1.3 GB f32 / 0.65 GB bf16) and its
+HBM write+read dominates the non-decoder time.
+
+This kernel exploits that the RAW FV volume is tiny (V x C = 40 KB per
+cloud): per batch element it
+  1. loads fv (V, C) into VMEM and builds the full (V, k^3*C) patch table
+     in a VMEM scratch via k^3 static shifted slices of the zero-padded
+     volume (the same construction as extract_patches, SAME padding);
+  2. one-hot-encodes the query voxel ids against the voxel axis; and
+  3. runs ONE MXU matmul (N, V) @ (V, k^3*C) — full-width lanes, unlike a
+     per-offset gather (C=20 starves the MXU; see gather_pallas.py's
+     measured loss).
+HBM traffic becomes fv in + output out — the table never leaves VMEM.
+
+Gradients: the op is linear in fv; the custom VJP re-derives the backward
+through the XLA formulation (one transposed matmul + patch-transpose),
+like kernels/threedmfv_pallas.py does.
+
+Reference semantics reproduced: utils/dpdist_util.py local_z_3d
+(:911-960, tf.extract_volume_patches SAME) + get_emb_and_concat gather
+(:434-457); off-grid queries read voxel 0's patch before output masking,
+exactly like the reference's argmax-of-zero-mask behavior (:459-492).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(vox_ref, fv_ref, out_ref, table_ref, *, g: int, k: int, C: int,
+            V: int, dtype):
+    fv = fv_ref[0]                                   # (V, C)
+    kh = k // 2
+    vol = fv.reshape(g, g, g, C)
+    padded = jnp.pad(vol, ((kh, kh), (kh, kh), (kh, kh), (0, 0)))
+    # Static k^3 shifted slices into the VMEM table — extract_patches
+    # ordering: offsets row-major over (di, dj, dl).
+    o = 0
+    for di in range(k):
+        for dj in range(k):
+            for dl in range(k):
+                sl = padded[di:di + g, dj:dj + g, dl:dl + g, :]
+                table_ref[:, o * C:(o + 1) * C] = sl.reshape(V, C)
+                o += 1
+    vox = vox_ref[0, 0]                              # (N,) int32
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (vox.shape[0], V), 1)
+    onehot = (vox[:, None] == iota_v).astype(dtype)
+    out_ref[0] = jnp.dot(onehot, table_ref[:],
+                         preferred_element_type=jnp.float32).astype(dtype)
+
+
+def _table_gather_impl(fv, vox, *, grid_size: int, k: int,
+                       interpret: bool = False):
+    B, V, C = fv.shape
+    N = vox.shape[1]
+    g = grid_size
+    assert V == g ** 3, (V, g)
+    E = k ** 3 * C
+    dtype = fv.dtype
+    kernel = functools.partial(_kernel, g=g, k=k, C=C, V=V, dtype=dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            # (B, 1, N) so the block's trailing dims equal the array dims
+            # (Mosaic tiling rule: divisible by (8, 128) or full-size).
+            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, E), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, E), dtype),
+        scratch_shapes=[pltpu.VMEM((V, E), dtype)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * V * E,
+            bytes_accessed=B * (V * C + N * E) * fv.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(vox[:, None, :], fv)
+
+
+def table_gather(fv, vox, grid_size: int, k: int, interpret: bool = False):
+    """(B, V, C) fv + (B, N) voxel ids -> (B, N, k^3*C) gathered patches.
+
+    Equivalent to gather_patches(extract_patches(fv, g, k), vox, mask)
+    without materializing the table. Differentiable in fv (linear); vox is
+    integer data. Falls back to interpret mode off-TPU (tests/smoke).
+    """
+    if not interpret:
+        from dpdist_tpu.ops.threedmfv import _on_tpu
+
+        interpret = not _on_tpu()
+    return _table_gather_diff(fv, vox, grid_size, k, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _table_gather_diff(fv, vox, grid_size: int, k: int, interpret: bool):
+    return _table_gather_impl(fv, vox, grid_size=grid_size, k=k,
+                              interpret=interpret)
+
+
+def _tg_fwd(fv, vox, grid_size, k, interpret):
+    out = _table_gather_impl(fv, vox, grid_size=grid_size, k=k,
+                             interpret=interpret)
+    # The op is linear in fv; the backward needs only fv's dtype (carried
+    # by a 0-d proto) + vox — shapes reconstruct from vox/grad statics.
+    return out, (jnp.zeros((), fv.dtype), vox)
+
+
+def _tg_bwd(grid_size, k, interpret, res, grad):
+    proto, vox = res
+    B = vox.shape[0]
+    V = grid_size ** 3
+    C = grad.shape[-1] // k ** 3
+    from dpdist_tpu.ops.voxel import extract_patches, gather_patches
+
+    def xla_ref(fv):
+        table = extract_patches(fv, grid_size, k)
+        return gather_patches(table, vox, None)
+
+    _, vjp = jax.vjp(xla_ref, jnp.zeros((B, V, C), proto.dtype))
+    return vjp(grad.astype(proto.dtype)) + (None,)
+
+
+_table_gather_diff.defvjp(_tg_fwd, _tg_bwd)

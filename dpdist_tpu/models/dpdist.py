@@ -240,15 +240,36 @@ def _decoder_inputs_fused(cfg: DPDistConfig, queries, fv):
     return x, mask
 
 
-def _use_fused_gather(cfg: DPDistConfig) -> bool:
-    if cfg.fused_gather == "on":
-        return cfg.k > 0 and cfg.dims == 3 and cfg.encoder == "3dmfv"
-    # Measured on v5e (B=256, N=64, C=20): the fused kernel's in-VMEM
-    # one-hot build + lane-starved (C=20) matmul costs more than the
-    # patch-table copies it avoids (14.3 vs 12.6 ms full forward), so
-    # 'auto' resolves to the XLA table path. The kernel remains available
-    # for wide-C / memory-constrained regimes via fused_gather="on".
-    return False
+def _decoder_inputs_table_vmem(cfg: DPDistConfig, queries, fv):
+    """VMEM-table variant (kernels/table_gather_pallas.py): the k^3 patch
+    table is built in VMEM per cloud and the one-hot gather runs there —
+    the (B, V, k^3*C) table never touches HBM."""
+    from dpdist_tpu.kernels.table_gather_pallas import table_gather
+
+    vox, mask, delta = voxel_assign(queries, cfg.grid_size)
+    emb = table_gather(fv, vox, cfg.grid_size, cfg.k)
+    x = jnp.concatenate([delta.astype(fv.dtype), emb], axis=-1)
+    return x, mask
+
+
+def _fused_gather_mode(cfg: DPDistConfig) -> str:
+    """Resolve cfg.fused_gather to 'off' | 'on' (per-query VMEM gather) |
+    'table' (VMEM patch table)."""
+    if cfg.k <= 0 or cfg.dims != 3 or cfg.encoder != "3dmfv":
+        return "off"
+    if cfg.fused_gather in ("on", "table"):
+        return cfg.fused_gather
+    # auto, measured on v5e (B=256, N=64, C=20, canonical config):
+    #   * per-query fused kernel ('on'): lane-starved C=20 matmul loses to
+    #     the XLA table path (14.3 vs 12.6 ms full forward);
+    #   * VMEM-table kernel ('table'): keeps full k^3*C-wide lanes and
+    #     removes the table's HBM round trip — 12.7 -> 10.4 ms with EXACT
+    #     (bit-equal) outputs. auto picks it on TPU; the XLA path remains
+    #     the CPU/test path (the kernel falls back to interpret mode off-
+    #     TPU, which is slower than XLA for real workloads).
+    from dpdist_tpu.ops.threedmfv import _on_tpu
+
+    return "table" if _on_tpu() else "off"
 
 
 def apply_dpdist(params, state, cfg: DPDistConfig, pcA, pcB, *,
@@ -267,15 +288,19 @@ def apply_dpdist(params, state, cfg: DPDistConfig, pcA, pcB, *,
       pred_AB = distances of B's points to surface(A), mask-zeroed.
     """
     pcA_enc = pcA if noise is None else pcA + noise
-    if _use_fused_gather(cfg):
-        # Raw FV volumes only; the per-query patch assembles in VMEM.
+    fused_mode = _fused_gather_mode(cfg)
+    if fused_mode != "off":
+        # Raw FV volumes only; the patch assembles in VMEM.
+        dtype = jnp.dtype(cfg.dtype)
         fvA = threedmfv(pcA_enc, cfg.embedding_size, cfg.sigma,
-                        full_fv=cfg.full_fv)
+                        full_fv=cfg.full_fv).astype(dtype)
         fvB = threedmfv(pcB, cfg.embedding_size, cfg.sigma,
-                        full_fv=cfg.full_fv)
+                        full_fv=cfg.full_fv).astype(dtype)
         nsB = {}
-        xAB, maskAB = _decoder_inputs_fused(cfg, pcB, fvA)
-        xBA, maskBA = _decoder_inputs_fused(cfg, pcA, fvB)
+        inputs_fn = (_decoder_inputs_table_vmem if fused_mode == "table"
+                     else _decoder_inputs_fused)
+        xAB, maskAB = inputs_fn(cfg, pcB, fvA)
+        xBA, maskBA = inputs_fn(cfg, pcA, fvB)
     else:
         tableA, nsA = dpdist_embed(params, state, cfg, pcA_enc, train=train,
                                    bn_momentum=bn_momentum)

@@ -72,3 +72,52 @@ def test_fused_gather_model_forward_matches(rng):
     g1 = jax.grad(lambda p: loss(p, fused))(params)
     for x, y in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-5)
+
+
+def test_table_gather_kernel_exact(rng):
+    """VMEM patch-table kernel == extract_patches + gather_patches, fwd
+    and bwd (the op is linear in fv so parity is exact)."""
+    import jax
+    from dpdist_tpu.ops.voxel import voxel_assign, extract_patches, gather_patches
+    from dpdist_tpu.kernels.table_gather_pallas import table_gather
+
+    for g, k, C in ((8, 5, 20), (4, 3, 7)):
+        V = g ** 3
+        fv = jnp.asarray(rng.normal(size=(2, V, C)).astype(np.float32))
+        pts = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 12, 3)).astype(np.float32))
+        vox, mask, _ = voxel_assign(pts, g)
+        want = gather_patches(extract_patches(fv, g, k), vox, mask)
+        got = table_gather(fv, vox, g, k, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+        gout = jnp.asarray(rng.normal(size=want.shape).astype(np.float32))
+        _, vjp_r = jax.vjp(
+            lambda f: gather_patches(extract_patches(f, g, k), vox, mask), fv)
+        _, vjp_n = jax.vjp(
+            lambda f: table_gather(f, vox, g, k, interpret=True), fv)
+        np.testing.assert_array_equal(np.asarray(vjp_n(gout)[0]),
+                                      np.asarray(vjp_r(gout)[0]))
+
+
+def test_table_gather_model_forward_matches(rng):
+    import jax
+    from dpdist_tpu.configs import DPDistConfig
+    from dpdist_tpu.models import init_dpdist, apply_dpdist
+
+    base = DPDistConfig(num_point=16, embedding_size=64, k=3, mlp=(32, 32, 32))
+    fused = base.replace(fused_gather="table")
+    params, state = init_dpdist(jax.random.PRNGKey(0), base)
+    pcA = jnp.asarray(rng.uniform(-0.8, 0.8, (2, 16, 3)).astype(np.float32))
+    pcB = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 16, 3)).astype(np.float32))
+    a0, _, _ = apply_dpdist(params, state, base, pcA, pcB)
+    a1, _, _ = apply_dpdist(params, state, fused, pcA, pcB)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=2e-5)
+
+    def loss(p, cfg):
+        a, _, _ = apply_dpdist(p, state, cfg, pcA, pcB)
+        return jnp.mean(a[..., 0])
+
+    g0 = jax.grad(lambda p: loss(p, base))(params)
+    g1 = jax.grad(lambda p: loss(p, fused))(params)
+    for x, y in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-5)
