@@ -36,36 +36,36 @@ _POS = 3.4e38
 
 
 def _kernel(points_ref, mu_ref, out_ref, *, G: int, sigma: float,
-            n_real: int, tile: int):
+            n_real: int, tile: int, bt: int):
     t_idx = pl.program_id(1)
-    pts = points_ref[0]                                   # (T, 3)
+    pts = points_ref[:].reshape(bt * tile, 3)             # (R, 3), R = bt*T
     mu = mu_ref[:]                                        # (3, G)
+    R = bt * tile
     w = 1.0 / G
     sw = np.sqrt(w)
     sw2 = np.sqrt(2.0 * w)
 
     # Exact squared distances on the VPU, one dimension at a time.
     diffs = []
-    d2 = jnp.zeros((tile, G), jnp.float32)
+    d2 = jnp.zeros((R, G), jnp.float32)
     for d in range(3):
-        dd = (pts[:, d:d + 1] - mu[d:d + 1, :]) / sigma   # (T, G)
+        dd = (pts[:, d:d + 1] - mu[d:d + 1, :]) / sigma   # (R, G)
         diffs.append(dd)
         d2 = d2 + dd * dd
     logits = -0.5 * d2
 
     m = jnp.max(logits, axis=1, keepdims=True)
     e = jnp.exp(logits - m)
-    Q = e / jnp.sum(e, axis=1, keepdims=True)             # (T, G)
+    Q = e / jnp.sum(e, axis=1, keepdims=True)             # (R, G)
 
-    # Mask padding rows (global row index >= n_real).
-    row = jax.lax.broadcasted_iota(jnp.int32, (tile, G), 0) + t_idx * tile
-    valid = row < n_real
+    # Mask padding rows: within-cloud point index >= n_real.
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, G), 0)
+    pt_idx = row % tile + t_idx * tile
+    valid = pt_idx < n_real
     Q = jnp.where(valid, Q, 0.0)
 
     # d_pi channels: mean, max of (Q - w)/(sqrt(w) N)
     d_pi = jnp.where(valid, (Q - w) / (sw * n_real), 0.0)
-    pi_sum = jnp.sum(d_pi, axis=0)
-    pi_max = jnp.max(jnp.where(valid, d_pi, _NEG), axis=0)
 
     mu_t, sig_t = [], []
     for d in range(3):
@@ -73,46 +73,50 @@ def _kernel(points_ref, mu_ref, out_ref, *, G: int, sigma: float,
         mu_t.append(t)
         sig_t.append(Q * (diffs[d] * diffs[d] - 1.0))
 
-    # Channel layout of the (20, G) accumulator (contiguous groups):
+    # Per-cloud pooling: reshape (R, G) -> (bt, T, G), reduce the T axis.
+    def s_of(t, scale):
+        return jnp.sum(t.reshape(bt, tile, G), axis=1) / scale
+
+    def mx_of(t, scale):
+        return jnp.max(jnp.where(valid, t, _NEG).reshape(bt, tile, G),
+                       axis=1) / scale
+
+    def mn_of(t, scale):
+        return jnp.min(jnp.where(valid, t, _POS).reshape(bt, tile, G),
+                       axis=1) / scale
+
+    # Channel layout of the (bt, 20, G) accumulator (contiguous groups):
     #   0: pi_sum        1: pi_max
     #   2-4: mu_sum      5-7: mu_max     8-10: mu_min
     #   11-13: sig_sum   14-16: sig_max  17-19: sig_min
-    def s_of(ts, scale):
-        return jnp.stack([jnp.sum(t, axis=0) / scale for t in ts], 0)
-
-    def mx_of(ts, scale):
-        return jnp.stack(
-            [jnp.max(jnp.where(valid, t, _NEG), axis=0) / scale for t in ts], 0)
-
-    def mn_of(ts, scale):
-        return jnp.stack(
-            [jnp.min(jnp.where(valid, t, _POS), axis=0) / scale for t in ts], 0)
-
-    part = jnp.concatenate([
-        pi_sum[None], pi_max[None],
-        s_of(mu_t, sw), mx_of(mu_t, sw), mn_of(mu_t, sw),
-        s_of(sig_t, sw2), mx_of(sig_t, sw2), mn_of(sig_t, sw2),
-    ], axis=0)                                             # (20, G)
+    channels = [s_of(d_pi, 1.0), mx_of(d_pi, 1.0)]
+    channels += [s_of(t, sw) for t in mu_t]
+    channels += [mx_of(t, sw) for t in mu_t]
+    channels += [mn_of(t, sw) for t in mu_t]
+    channels += [s_of(t, sw2) for t in sig_t]
+    channels += [mx_of(t, sw2) for t in sig_t]
+    channels += [mn_of(t, sw2) for t in sig_t]
+    part = jnp.stack(channels, axis=1)                     # (bt, 20, G)
 
     @pl.when(t_idx == 0)
     def _():
-        out_ref[0] = part
+        out_ref[:] = part
 
     @pl.when(t_idx > 0)
     def _():
-        acc = out_ref[0]
+        acc = out_ref[:]
         p = part
         merged = jnp.concatenate([
-            acc[0:1] + p[0:1],
-            jnp.maximum(acc[1:2], p[1:2]),
-            acc[2:5] + p[2:5],
-            jnp.maximum(acc[5:8], p[5:8]),
-            jnp.minimum(acc[8:11], p[8:11]),
-            acc[11:14] + p[11:14],
-            jnp.maximum(acc[14:17], p[14:17]),
-            jnp.minimum(acc[17:20], p[17:20]),
-        ], axis=0)
-        out_ref[0] = merged
+            acc[:, 0:1] + p[:, 0:1],
+            jnp.maximum(acc[:, 1:2], p[:, 1:2]),
+            acc[:, 2:5] + p[:, 2:5],
+            jnp.maximum(acc[:, 5:8], p[:, 5:8]),
+            jnp.minimum(acc[:, 8:11], p[:, 8:11]),
+            acc[:, 11:14] + p[:, 11:14],
+            jnp.maximum(acc[:, 14:17], p[:, 14:17]),
+            jnp.minimum(acc[:, 17:20], p[:, 17:20]),
+        ], axis=1)
+        out_ref[:] = merged
 
 
 def threedmfv_pallas(points, n_gaussians: int = 512, sigma: float = 0.125,
@@ -157,8 +161,8 @@ def _threedmfv_pallas_impl(points, n_gaussians: int = 512, sigma: float = 0.125,
     G = n_gaussians
     mu = np.ascontiguousarray(threedmfv_grid(G, 3).T)      # (3, G)
 
-    # ~15 (tile, G) fp32 intermediates stay live; tile=256, G=512 keeps the
-    # working set ~8 MB, inside the 16 MB VMEM budget.
+    # ~15 (bt*tile, G) fp32 intermediates stay live; bt*tile <= 256 keeps
+    # the working set ~8 MB at G=512, inside the 16 MB VMEM budget.
     tile = int(min(max(8, -(-N // 8) * 8), 256))
     n_tiles = -(-N // tile)
     Np = n_tiles * tile
@@ -168,22 +172,31 @@ def _threedmfv_pallas_impl(points, n_gaussians: int = 512, sigma: float = 0.125,
     else:
         pts = points
 
+    # Batch-tiling amortizes per-program overhead when N is small (the
+    # canonical np=64 config would otherwise run B tiny programs).
+    bt = int(max(1, min(B, 256 // tile)))
+    Bp = -(-B // bt) * bt
+    if Bp != B:
+        pts = jnp.concatenate(
+            [pts, jnp.zeros((Bp - B, Np, 3), pts.dtype)], axis=0)
+
     kernel = functools.partial(_kernel, G=G, sigma=float(sigma), n_real=N,
-                               tile=tile)
+                               tile=tile, bt=bt)
     raw = pl.pallas_call(
         kernel,
-        grid=(B, n_tiles),
+        grid=(Bp // bt, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, tile, 3), lambda b, t: (b, t, 0),
+            pl.BlockSpec((bt, tile, 3), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, G), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 20, G), lambda b, t: (b, 0, 0),
+        out_specs=pl.BlockSpec((bt, 20, G), lambda b, t: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 20, G), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bp, 20, G), jnp.float32),
         interpret=interpret,
     )(pts.astype(jnp.float32), jnp.asarray(mu, jnp.float32))
+    raw = raw[:B]
 
     # Finalize: means were accumulated as sums; divide, then power + L2
     # normalize over G and lay out as (B, G, 20).
