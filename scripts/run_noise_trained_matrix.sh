@@ -1,0 +1,36 @@
+#!/bin/bash
+# Noise-augmented training at the canonical protocol (reference NOISE=1,
+# iterative_PCRNet_ours.py --noise: per-point gaussian noise on sources
+# during training), then eval on noisy / occluded / clean test cases.
+set -e
+cd "$(dirname "$0")/.."
+DPDIST_CKPT=${DPDIST_CKPT:-runs/dpdist_chair_r2/ckpt_best}
+EPOCHS=${EPOCHS:-600}
+OUT=${OUT:-runs/canonical_noise}
+COMMON="--num_point 64 --max_loops 8 --out_features 1024 \
+  --families chair --n_templates 128 --max_rotate_deg 45 \
+  --sparse 1 --s_rand_points 1.0 --centroid_sub 0 \
+  --batch_size 16 --learning_rate 1e-4 --noise_prob 1.0 \
+  --max_epoch $EPOCHS --batches_per_epoch 32 --data_parallel 1"
+mkdir -p "$OUT"
+python -m dpdist_tpu.cli.train_pcrnet --loss_type chamfer \
+  --log_dir "$OUT/pcr_chamfer" $COMMON 2>&1 | tail -1 &
+CH=$!
+python -m dpdist_tpu.cli.train_pcrnet --loss_type dpdist \
+  --dpdist_ckpt "$DPDIST_CKPT" --log_dir "$OUT/pcr_dpdist" $COMMON 2>&1 | tail -1
+wait $CH
+for loss in chamfer dpdist; do
+  ckpt="$OUT/pcr_$loss/pcrnet_ckpt_best"
+  [ -f "$ckpt.json" ] || ckpt="$OUT/pcr_$loss/pcrnet_ckpt_final"
+  for cond in clean noise occl; do
+    extra=""
+    [ $cond = noise ] && extra="--use_noise_data"
+    [ $cond = occl ] && extra="--add_occlusions 0.25"
+    python -m dpdist_tpu.cli.eval_registration --ckpt "$ckpt" \
+      --iterations 8 --num_cases 512 --n_templates 64 \
+      --families chair --sparse 1 --s_rand_points 1.0 --centroid_sub 0 \
+      --seed 777 $extra --report_dir "$OUT/eval_${loss}_${cond}" \
+      > "$OUT/${loss}_${cond}.json"
+  done
+done
+echo "noise-trained matrix done"
