@@ -87,19 +87,28 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
     program = jax.jit(_eval_program, static_argnames=("cfg", "iterations"))
 
     all_te, all_re, all_ce = [], [], []
+    batch_times = []  # per-batch wall time; [0] includes jit compilation
     t0 = time.perf_counter()
     n_done = 0
     while n_done < num_cases:
         b = min(batch_size, num_cases - n_done)
         template, source, gt = dataset.sample_batch(b)
+        tb = time.perf_counter()
         _, te, re, ce = program(params, state, cfg, jnp.asarray(template),
                                 jnp.asarray(source), jnp.asarray(gt),
                                 iterations)
-        all_te.append(np.asarray(te))
+        te = np.asarray(te)  # synchronous fetch closes the batch timing
+        batch_times.append((time.perf_counter() - tb, b))
+        all_te.append(te)
         all_re.append(np.asarray(re))
         all_ce.append(np.asarray(ce))
         n_done += b
     elapsed = time.perf_counter() - t0
+    # Steady-state per-case time excludes the first batch (jit compile —
+    # minutes through a remote-compile tunnel); falls back to the total
+    # when everything fit in one batch.
+    steady = batch_times[1:] or batch_times
+    per_case = sum(t for t, _ in steady) / max(sum(b for _, b in steady), 1)
 
     te = np.concatenate(all_te, axis=1)   # (iterations, num_cases)
     re = np.concatenate(all_re, axis=1)
@@ -114,7 +123,7 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
         "trans_err_mean": float(final_te.mean()),
         "trans_err_var": float(final_te.var()),
         "time_total_s": elapsed,
-        "time_per_case_s": elapsed / n_done,
+        "time_per_case_s": per_case,
         **accuracy_buckets(final_re, final_te),
         "curve_rot_err_mean": re.mean(1).tolist(),
         "curve_trans_err_mean": te.mean(1).tolist(),
