@@ -90,10 +90,15 @@ def threedmfv(points, n_gaussians: int = 512, sigma: float = 0.125,
       (B, G, C) float32 Fisher vectors (or flattened variant).
     """
     B, N, D = points.shape
+    # auto: the batch-tiled kernel (threedmfv_pallas) amortizes per-program
+    # overhead at small N (bt clouds per program), measured 2.8x over XLA
+    # at the canonical B=256/N=64; at large N the streaming accumulator
+    # avoids the (B, N, G, D) HBM tensors. XLA remains the non-TPU path
+    # and the path for exotic configs (2-D, partial FV, unnormalized).
     use_pallas = (
         impl == "pallas"
         or (impl == "auto" and D == 3 and full_fv and normalize
-            and N >= 1024 and _on_tpu())
+            and _on_tpu())
     )
     if use_pallas:
         from dpdist_tpu.kernels.threedmfv_pallas import threedmfv_pallas
