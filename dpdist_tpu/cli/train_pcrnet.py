@@ -36,6 +36,10 @@ def main(argv=None):
     p.add_argument("--centroid_sub", type=int, default=1,
                    help="subtract the source centroid (canonical bash: 0)")
     p.add_argument("--noise_prob", type=float, default=0.0)
+    p.add_argument("--occlusion_fraction", type=float, default=0.0,
+                   help="train-time kNN-ball occlusion of sources "
+                        "(the evaluator's --add_occlusions, applied during "
+                        "training like the reference's OCCLUSIONS knob)")
     p.add_argument("--templates_h5", default=None)
     p.add_argument("--resume", default=None, help="PCRNet checkpoint base path")
     p.add_argument("--train_single", action="store_true",
@@ -74,7 +78,8 @@ def main(argv=None):
                        batches_per_epoch=a.batches_per_epoch,
                        eval_dataset=eval_ds,
                        random_points_prob=a.s_rand_points,
-                       noise_prob=a.noise_prob)
+                       noise_prob=a.noise_prob,
+                       occlusion_fraction=a.occlusion_fraction)
     print(f"best checkpoint: {best}")
 
 

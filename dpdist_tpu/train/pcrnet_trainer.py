@@ -118,12 +118,13 @@ class PCRNetTrainer:
         return metrics
 
     def train_epoch(self, dataset, epoch: int, *, batches_per_epoch: int = 32,
-                    random_points_prob: float = 0.0, noise_prob: float = 0.0):
+                    random_points_prob: float = 0.0, noise_prob: float = 0.0,
+                    occlusion_fraction: float = 0.0):
         losses = []
         for _ in range(batches_per_epoch):
             template, source, _ = dataset.sample_batch(
                 self.tcfg.batch_size, random_points_prob=random_points_prob,
-                noise_prob=noise_prob,
+                noise_prob=noise_prob, occlusion_fraction=occlusion_fraction,
             )
             if self._probe is None:
                 self._probe = (jnp.asarray(template), jnp.asarray(source))
