@@ -18,7 +18,8 @@ def main(argv=None):
     add_dpdist_model_args(p)
     add_train_args(p)
     p.add_argument("--data_root", default="data/synthetic")
-    p.add_argument("--category", default="chair")
+    p.add_argument("--category", default="chair",
+                   help="class filter; 'all' trains on every class")
     p.add_argument("--log_dir", default="runs/dpdist")
     p.add_argument("--eval_every", type=int, default=10)
     p.add_argument("--resume", action="store_true")
@@ -35,12 +36,13 @@ def main(argv=None):
     if a.resume:
         trainer.restore()
 
+    category = None if a.category == "all" else a.category
     train_ds = SurfacePairDataset(a.data_root, batch_size=tcfg.batch_size,
                                   npoints=mcfg.num_point * 2, split="train",
-                                  class_choice=a.category, seed=a.seed)
+                                  class_choice=category, seed=a.seed)
     test_ds = SurfacePairDataset(a.data_root, batch_size=tcfg.batch_size,
                                  npoints=mcfg.num_point * 2, split="test",
-                                 class_choice=a.category, seed=a.seed)
+                                 class_choice=category, seed=a.seed)
     trainer.fit(train_ds, test_ds, eval_every=a.eval_every)
 
 

@@ -110,7 +110,13 @@ class DPDistTrainer:
             m = self.train_step(bd, bl)
             device_losses.append(m["loss"])
         losses = [float(np.asarray(l)) for l in device_losses]
-        if losses and not all(np.isfinite(l) for l in losses):
+        if not losses:
+            raise ValueError(
+                f"epoch {epoch} produced no full batches — check the "
+                f"category filter and that batch_size "
+                f"({self.tcfg.batch_size}) does not exceed the split size"
+            )
+        if not all(np.isfinite(l) for l in losses):
             # Failure detection (the reference has none, SURVEY §5): stop
             # at the first diverged step with enough context to bisect.
             bad = next(i for i, l in enumerate(losses) if not np.isfinite(l))
@@ -119,7 +125,7 @@ class DPDistTrainer:
                 f"(step ~{self.global_step - len(losses) + bad}); losses "
                 f"around failure: {losses[max(0, bad - 2): bad + 1]}"
             )
-        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        mean_loss = float(np.mean(losses))
         self.logger.log(f" ---- epoch: {epoch + 1:03d} ---- mean loss: {mean_loss:f}")
         self.logger.metrics(self.global_step, epoch=epoch, train_loss=mean_loss)
         return mean_loss
