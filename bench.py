@@ -71,6 +71,12 @@ def main():
     fwd = make_pair_eval(cfg)
     fwd_64 = _time_pairs_per_sec(lambda: fwd(params, state, pcA, pcB), batch)
 
+    # ---- bf16 serving config (table + decoder in bf16; 3DmFV exact f32)
+    cfg16 = DPDistConfig(dtype="bfloat16")
+    fwd16 = make_pair_eval(cfg16)
+    fwd_bf16 = _time_pairs_per_sec(lambda: fwd16(params, state, pcA, pcB),
+                                   batch)
+
     # ---- forward pairs/s at np=256 (amortizes per-pair fixed costs)
     cfg256 = DPDistConfig(num_point=256)
     pcA256, pcB256 = clouds(256)
@@ -126,6 +132,7 @@ def main():
         "vs_baseline": round(fwd_64 / BASELINE_PAIRS_PER_SEC, 2),
         "baseline_measured_pairs_per_sec": BASELINE_PAIRS_PER_SEC,
         "train_step_pairs_per_sec": round(train_64, 2),
+        "fwd_bf16_pairs_per_sec": round(fwd_bf16, 2),
         "fwd_np256_pairs_per_sec": round(fwd_256, 2),
         "threedmfv_pallas_vs_xla_maxdiff": kernel_parity,
     }))
