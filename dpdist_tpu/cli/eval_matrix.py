@@ -1,0 +1,103 @@
+"""Evaluate several PCRNet checkpoints across several conditions in ONE
+process, reusing the compiled evaluation program.
+
+The bash-style matrix (one eval_registration process per cell, like the
+reference's results_itrPCRNet_no_stop invocations) pays a jit compile
+per process — minutes each through a remote-compile tunnel. All cells
+share one program here (same shapes), so the matrix compiles once.
+
+Usage:
+  python -m dpdist_tpu.cli.eval_matrix \
+      --ckpts chamfer=<base> dpdist=<base> \
+      --conditions clean noise occl --out_dir runs/matrix_eval ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpts", nargs="+", required=True,
+                   help="name=checkpoint_base pairs")
+    p.add_argument("--conditions", nargs="+", default=["clean"],
+                   choices=["clean", "noise", "occl"], type=str)
+    p.add_argument("--occlusion_fraction", type=float, default=0.25)
+    p.add_argument("--iterations", type=int, default=8)
+    p.add_argument("--num_cases", type=int, default=512)
+    p.add_argument("--num_point", type=int, default=None,
+                   help="defaults to the checkpoint's num_point")
+    p.add_argument("--families", nargs="+", default=["chair"])
+    p.add_argument("--n_templates", type=int, default=64)
+    p.add_argument("--max_rotate_deg", type=float, default=45.0)
+    p.add_argument("--sparse", type=int, default=0, choices=[0, 1, 2])
+    p.add_argument("--s_rand_points", type=float, default=0.0)
+    p.add_argument("--centroid_sub", type=int, default=1)
+    p.add_argument("--seed", type=int, default=777)
+    p.add_argument("--out_dir", default="runs/matrix_eval")
+    a = p.parse_args(argv)
+
+    import jax
+
+    from dpdist_tpu.configs import PCRNetConfig
+    from dpdist_tpu.data.registration import (
+        PerturbedRegistrationDataset,
+        RegistrationDataset,
+    )
+    from dpdist_tpu.eval.registration import evaluate_registration
+    from dpdist_tpu.models import init_pcrnet
+    from dpdist_tpu.train.checkpoint import restore_checkpoint
+
+    os.makedirs(a.out_dir, exist_ok=True)
+    rows = []
+    for spec in a.ckpts:
+        name, _, base = spec.partition("=")
+        if not base:
+            name, base = os.path.basename(spec), spec
+        with open(base + ".json") as f:
+            meta = json.load(f)["metadata"]
+        cfg = PCRNetConfig.from_json(meta["pcrnet_config"])
+        tp, ts = init_pcrnet(jax.random.PRNGKey(0), cfg)
+        try:
+            tree, _, _ = restore_checkpoint(base, {"params": tp, "state": ts})
+            state = tree["state"]
+        except (KeyError, ValueError):
+            tree, _, _ = restore_checkpoint(base, {"params": tp})
+            state = None
+
+        for cond in a.conditions:
+            ds = RegistrationDataset(
+                families=tuple(a.families), n_templates=a.n_templates,
+                num_point=a.num_point or cfg.num_point,
+                max_rotate_deg=a.max_rotate_deg, seed=a.seed,
+                sparse=a.sparse, s_rand_points=a.s_rand_points,
+                centroid_sub=bool(a.centroid_sub))
+            if cond != "clean":
+                ds = PerturbedRegistrationDataset(
+                    ds, noise=(cond == "noise"),
+                    occlusion_fraction=(a.occlusion_fraction
+                                        if cond == "occl" else 0.0))
+            rep = evaluate_registration(
+                tree["params"], cfg, ds, num_cases=a.num_cases,
+                iterations=a.iterations, state=state,
+                report_dir=os.path.join(a.out_dir, f"eval_{name}_{cond}"))
+            with open(os.path.join(a.out_dir, f"{name}_{cond}.json"),
+                      "w") as f:
+                json.dump(rep, f, indent=2)
+            row = (f"{name:10s} {cond:6s} rot {rep['rot_err_mean_deg']:7.2f} "
+                   f"trans {rep['trans_err_mean']:.4f} "
+                   f"acc2.5 {rep['acc_rot2.5_trans0.05']:.3f} "
+                   f"acc5 {rep['acc_rot5.0_trans0.05']:.3f} "
+                   f"acc10 {rep['acc_rot10.0_trans0.1']:.3f} "
+                   f"acc20 {rep['acc_rot20.0_trans0.2']:.3f}")
+            rows.append(row)
+            print(row, flush=True)
+    with open(os.path.join(a.out_dir, "summary.txt"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+
+if __name__ == "__main__":
+    main()

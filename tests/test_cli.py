@@ -70,6 +70,30 @@ def test_cli_train_pcrnet_and_eval(cli_env):
     assert rep["num_cases"] == 2
 
 
+def test_cli_eval_matrix(cli_env, tmp_path):
+    """Single-process matrix eval: all (ckpt, condition) cells share one
+    compiled program; per-cell reports + summary written."""
+    from dpdist_tpu.cli.train_pcrnet import main as train_main
+    from dpdist_tpu.cli.eval_matrix import main as matrix_main
+
+    log = os.path.join(cli_env["root"], "pcr_m")
+    train_main(["--loss_type", "chamfer", "--num_point", "8",
+                "--max_loops", "2", "--out_features", "16",
+                "--n_templates", "2", "--max_epoch", "1",
+                "--batches_per_epoch", "1", "--batch_size", "2",
+                "--log_dir", log, "--data_parallel", "1"])
+    out = str(tmp_path / "matrix")
+    matrix_main(["--ckpts", f"ch={log}/pcrnet_ckpt_final",
+                 "--conditions", "clean", "occl", "--num_cases", "2",
+                 "--n_templates", "2", "--iterations", "2",
+                 "--out_dir", out])
+    assert os.path.exists(os.path.join(out, "ch_clean.json"))
+    assert os.path.exists(os.path.join(out, "ch_occl.json"))
+    assert os.path.exists(os.path.join(out, "summary.txt"))
+    rep = json.load(open(os.path.join(out, "ch_occl.json")))
+    assert rep["num_cases"] == 2
+
+
 def test_cli_gen_data_from_modelnet(tmp_path):
     """End-to-end --from_modelnet on fabricated ModelNet40-format fixtures
     (VERDICT missing #1): <root>/<class>/<id>.txt comma-separated xyz(+nrm)
