@@ -90,15 +90,20 @@ def threedmfv(points, n_gaussians: int = 512, sigma: float = 0.125,
       (B, G, C) float32 Fisher vectors (or flattened variant).
     """
     B, N, D = points.shape
-    # auto: the batch-tiled kernel (threedmfv_pallas) amortizes per-program
-    # overhead at small N (bt clouds per program), measured 2.8x over XLA
-    # at the canonical B=256/N=64; at large N the streaming accumulator
-    # avoids the (B, N, G, D) HBM tensors. XLA remains the non-TPU path
-    # and the path for exotic configs (2-D, partial FV, unnormalized).
+    # auto: idle-chip A/B on v5e (full forward, B=256): at N=64 XLA edges
+    # the batch-tiled kernel by ~2% (25.4k vs 24.9k pairs/s); at N=256 the
+    # kernel wins ~9% (14.9k vs 13.7k) and the gap grows with N (the
+    # streaming accumulator avoids the (B, N, G, D) HBM tensors). Cross
+    # over at N >= 128. XLA remains the non-TPU path and the path for
+    # exotic configs (2-D, partial FV, unnormalized).
+    # DPDIST_THREEDMFV_IMPL overrides 'auto' (profiling A/B knob).
+    import os
+
+    impl = os.environ.get("DPDIST_THREEDMFV_IMPL", impl) if impl == "auto" else impl
     use_pallas = (
         impl == "pallas"
         or (impl == "auto" and D == 3 and full_fv and normalize
-            and _on_tpu())
+            and N >= 128 and _on_tpu())
     )
     if use_pallas:
         from dpdist_tpu.kernels.threedmfv_pallas import threedmfv_pallas
