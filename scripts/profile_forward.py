@@ -47,16 +47,21 @@ def main():
     x = jnp.asarray(
         rng.normal(0, 0.1, (2 * B, N, cfg.patch_dim + 3)).astype(np.float32))
 
+    # Every stage returns a SCALAR (sum) so the timing is device compute,
+    # not the relay fetch of a multi-hundred-MB intermediate.
     stages = {
-        "threedmfv_xla": jax.jit(lambda p: threedmfv(p, impl="xla")),
-        "threedmfv_pallas": jax.jit(lambda p: threedmfv_pallas(p)),
+        "threedmfv_xla": jax.jit(
+            lambda p: jnp.sum(threedmfv(p, impl="xla"))),
+        "threedmfv_pallas": jax.jit(
+            lambda p: jnp.sum(threedmfv_pallas(p))),
         "patch_xla_table": jax.jit(
-            lambda f, v: gather_patches(extract_patches(f, cfg.grid_size,
-                                                        cfg.k), v, None)),
+            lambda f, v: jnp.sum(gather_patches(
+                extract_patches(f, cfg.grid_size, cfg.k), v, None))),
         "patch_vmem_kernel": jax.jit(
-            lambda f, v: table_gather(f, v, cfg.grid_size, cfg.k)),
+            lambda f, v: jnp.sum(table_gather(f, v, cfg.grid_size, cfg.k))),
         "decoder_mlp": jax.jit(
-            lambda xx: mlp_apply(params["decoder"], {}, xx, train=False)[0]),
+            lambda xx: jnp.sum(
+                mlp_apply(params["decoder"], {}, xx, train=False)[0])),
     }
     args = {
         "threedmfv_xla": (pcA,),
