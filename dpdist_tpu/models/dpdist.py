@@ -254,9 +254,14 @@ def _decoder_inputs_table_vmem(cfg: DPDistConfig, queries, fv):
 
 def _fused_gather_mode(cfg: DPDistConfig) -> str:
     """Resolve cfg.fused_gather to 'off' | 'on' (per-query VMEM gather) |
-    'table' (VMEM patch table)."""
+    'table' (VMEM patch table) | 'full' (table + whole decoder in VMEM)."""
     if cfg.k <= 0 or cfg.dims != 3 or cfg.encoder != "3dmfv":
         return "off"
+    if cfg.fused_gather == "full":
+        # Serving path: eval-only (no VJP), bf16, canonical decoder.
+        ok = (cfg.conv_version == 1 and not cfg.use_bn
+              and jnp.dtype(cfg.dtype) == jnp.bfloat16)
+        return "full" if ok else "table"
     if cfg.fused_gather in ("on", "table"):
         return cfg.fused_gather
     # auto, measured on v5e (B=256, N=64, C=20, canonical config):
@@ -289,6 +294,30 @@ def apply_dpdist(params, state, cfg: DPDistConfig, pcA, pcB, *,
     """
     pcA_enc = pcA if noise is None else pcA + noise
     fused_mode = _fused_gather_mode(cfg)
+    if fused_mode == "full" and not train:
+        # Serving fast path: table + gather + decoder in one kernel per
+        # direction; non-differentiable by design (see
+        # kernels/fused_forward_pallas.py).
+        from dpdist_tpu.kernels.fused_forward_pallas import fused_forward
+        from dpdist_tpu.ops.threedmfv import _on_tpu
+
+        dtype = jnp.dtype(cfg.dtype)
+        fvA = threedmfv(pcA_enc, cfg.embedding_size, cfg.sigma,
+                        full_fv=cfg.full_fv).astype(dtype)
+        fvB = threedmfv(pcB, cfg.embedding_size, cfg.sigma,
+                        full_fv=cfg.full_fv).astype(dtype)
+        voxB, maskAB, deltaB = voxel_assign(pcB, cfg.grid_size)
+        voxA, maskBA, deltaA = voxel_assign(pcA, cfg.grid_size)
+        fv2 = jnp.concatenate([fvA, fvB], 0)
+        vox2 = jnp.concatenate([voxB, voxA], 0)
+        delta2 = jnp.concatenate([deltaB, deltaA], 0)
+        y = fused_forward(fv2, vox2, delta2, params["decoder"]["layers"],
+                          cfg.grid_size, cfg.k, interpret=not _on_tpu())
+        y = _output_activation(y, cfg.output_act)
+        pred_AB, pred_BA = jnp.split(y, 2, axis=0)
+        pred_AB = pred_AB * maskAB[..., None]
+        pred_BA = pred_BA * maskBA[..., None]
+        return pred_AB, pred_BA, {"decoder": {}}
     if fused_mode != "off":
         # Raw FV volumes only; the patch assembles in VMEM.
         dtype = jnp.dtype(cfg.dtype)

@@ -121,3 +121,27 @@ def test_table_gather_model_forward_matches(rng):
     g1 = jax.grad(lambda p: loss(p, fused))(params)
     for x, y in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-5)
+
+
+def test_fused_forward_full_matches_bf16_path(rng):
+    """fused_gather='full' (whole decoder in VMEM) matches the composed
+    bf16 path within bf16 rounding-order tolerance; masking preserved."""
+    import jax
+    from dpdist_tpu.configs import DPDistConfig
+    from dpdist_tpu.models import init_dpdist, apply_dpdist
+
+    base = DPDistConfig(num_point=16, embedding_size=64, k=3,
+                        mlp=(32, 32, 32), dtype="bfloat16")
+    full = base.replace(fused_gather="full")
+    params, state = init_dpdist(jax.random.PRNGKey(0), base)
+    pcA = jnp.asarray(rng.uniform(-0.8, 0.8, (2, 16, 3)).astype(np.float32))
+    pcB = jnp.asarray(rng.uniform(-0.8, 0.8, (2, 16, 3)).astype(np.float32))
+    pcB = pcB.at[:, :3].set(5.0)  # off-grid -> exact zeros
+    a0, b0, _ = apply_dpdist(params, state, base, pcA, pcB)
+    a1, b1, _ = apply_dpdist(params, state, full, pcA, pcB)
+    np.testing.assert_allclose(np.asarray(a1[:, :3]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b0), atol=2e-3)
+    # train=True must NOT take the non-differentiable fast path
+    at, _, _ = apply_dpdist(params, state, full, pcA, pcB, train=True)
+    assert np.isfinite(np.asarray(at)).all()
