@@ -49,7 +49,7 @@ def main(argv=None):
     )
     from dpdist_tpu.eval.registration import evaluate_registration
     from dpdist_tpu.models import init_pcrnet
-    from dpdist_tpu.train.checkpoint import restore_checkpoint
+    from dpdist_tpu.train.checkpoint import restore_params_maybe_state
 
     os.makedirs(a.out_dir, exist_ok=True)
     rows = []
@@ -61,12 +61,7 @@ def main(argv=None):
             meta = json.load(f)["metadata"]
         cfg = PCRNetConfig.from_json(meta["pcrnet_config"])
         tp, ts = init_pcrnet(jax.random.PRNGKey(0), cfg)
-        try:
-            tree, _, _ = restore_checkpoint(base, {"params": tp, "state": ts})
-            state = tree["state"]
-        except (KeyError, ValueError):
-            tree, _, _ = restore_checkpoint(base, {"params": tp})
-            state = None
+        params, state, _ = restore_params_maybe_state(base, tp, ts)
 
         for cond in a.conditions:
             ds = RegistrationDataset(
@@ -81,7 +76,7 @@ def main(argv=None):
                     occlusion_fraction=(a.occlusion_fraction
                                         if cond == "occl" else 0.0))
             rep = evaluate_registration(
-                tree["params"], cfg, ds, num_cases=a.num_cases,
+                params, cfg, ds, num_cases=a.num_cases,
                 iterations=a.iterations, state=state,
                 report_dir=os.path.join(a.out_dir, f"eval_{name}_{cond}"))
             with open(os.path.join(a.out_dir, f"{name}_{cond}.json"),

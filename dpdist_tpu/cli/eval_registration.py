@@ -41,20 +41,14 @@ def main(argv=None):
     from dpdist_tpu.data.registration import RegistrationDataset
     from dpdist_tpu.eval.registration import evaluate_registration
     from dpdist_tpu.models import init_pcrnet
-    from dpdist_tpu.train.checkpoint import restore_checkpoint
+    from dpdist_tpu.train.checkpoint import restore_params_maybe_state
 
     with open(a.ckpt + ".json") as f:
         meta = json.load(f)["metadata"]
     pcfg = PCRNetConfig.from_json(meta["pcrnet_config"])
     template_params, template_state = init_pcrnet(jax.random.PRNGKey(0), pcfg)
-    try:
-        tree, _, _ = restore_checkpoint(
-            a.ckpt, {"params": template_params, "state": template_state})
-        state = tree["state"]
-    except (KeyError, ValueError):
-        # pre-state checkpoint (round-1 format): params only
-        tree, _, _ = restore_checkpoint(a.ckpt, {"params": template_params})
-        state = None
+    params, state, _ = restore_params_maybe_state(
+        a.ckpt, template_params, template_state)
 
     ds = RegistrationDataset(h5_path=a.templates_h5, families=tuple(a.families),
                              n_templates=a.n_templates, num_point=pcfg.num_point,
@@ -66,7 +60,7 @@ def main(argv=None):
 
         ds = PerturbedRegistrationDataset(ds, noise=a.use_noise_data,
                                           occlusion_fraction=a.add_occlusions)
-    report = evaluate_registration(tree["params"], pcfg, ds,
+    report = evaluate_registration(params, pcfg, ds,
                                    num_cases=a.num_cases,
                                    iterations=a.iterations,
                                    report_dir=a.report_dir, state=state)

@@ -57,9 +57,11 @@ class DPDistConfig(_JsonMixin):
     use_bn: bool = False          # reference default BN=0
     output_channels: int = 3      # decoder output channels; loss uses channel 0
     dtype: str = "float32"        # compute dtype for the decoder matmuls
-    fused_gather: str = "auto"    # "auto" | "on" | "table" | "off":
+    fused_gather: str = "auto"    # "auto" | "on" | "table" | "full" | "off"
                                   # 'on' = per-query VMEM gather kernel,
-                                  # 'table' = VMEM patch-table kernel
+                                  # 'table' = VMEM patch-table kernel,
+                                  # 'full' = table + whole decoder in VMEM
+                                  #          (eval-only serving path, bf16)
                                   # (skips the k^3 patch table; TPU only)
 
     @property

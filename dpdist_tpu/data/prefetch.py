@@ -22,33 +22,58 @@ class PrefetchingLoader:
     background producer.
 
     epoch() resets the dataset and yields each batch in order; exceptions
-    in the producer are re-raised in the consumer.
+    in the producer are re-raised in the consumer. Abandoning the
+    generator mid-epoch (consumer exception, break) stops the producer
+    before it touches the dataset again, so a subsequent epoch() cannot
+    race two producers on one stateful dataset.
     """
 
     def __init__(self, dataset, *, augment: bool = False, depth: int = 2):
         self.dataset = dataset
         self.augment = augment
         self.depth = int(depth)
+        self._thread = None
+        self._stop = None
 
     def epoch(self):
+        if self._thread is not None and self._thread.is_alive():
+            # a previous epoch was abandoned: retire its producer before
+            # reset() so two threads never share the stateful dataset
+            self._stop.set()
+            self._thread.join()
         self.dataset.reset()
         q: queue.Queue = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
 
         def produce():
             try:
-                while self.dataset.has_next_batch():
-                    q.put(self.dataset.next_batch(augment=self.augment))
-                q.put(_SENTINEL)
+                while not stop.is_set() and self.dataset.has_next_batch():
+                    item = self.dataset.next_batch(augment=self.augment)
+                    # bounded puts poll the stop flag so an abandoned
+                    # consumer can't leave us blocked holding the dataset
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                if not stop.is_set():
+                    q.put(_SENTINEL)
             except BaseException as e:  # surfaced in the consumer
-                q.put(e)
+                if not stop.is_set():
+                    q.put(e)
 
         t = threading.Thread(target=produce, daemon=True)
+        self._thread, self._stop = t, stop
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+            t.join()
+        finally:
+            stop.set()

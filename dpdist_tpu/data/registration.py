@@ -148,6 +148,14 @@ class RegistrationDataset:
                 for i in range(n_templates)
             ]) * scale
         assert self.templates.shape[1] >= num_point
+        if self.sparse > 0 and self.templates.shape[1] < 2 * self.sparse * num_point:
+            # the disjoint split pools the first 2*sparse*N points
+            # (helper.py:928-932); a smaller template would silently
+            # produce an undersized source cloud.
+            raise ValueError(
+                f"sparse={self.sparse} needs templates with >= "
+                f"{2 * self.sparse * num_point} points, got "
+                f"{self.templates.shape[1]}")
 
     def _sample_sparse(self, template: np.ndarray, pose6: np.ndarray):
         """helper.split_template_source (helper.py:925-961), SPARSE>=1:
@@ -176,8 +184,16 @@ class RegistrationDataset:
         pose6 = generate_poses(batch_size, max_rotate_deg=self.max_rotate_deg,
                                t_clip=self.t_clip, rng=self.rng)
 
-        if self.sparse > 0 and self.rng.uniform() < random_points_prob:
-            template_n, source_n = self._sample_sparse(template, pose6)
+        if self.sparse > 0:
+            if self.rng.uniform() < random_points_prob:
+                template_n, source_n = self._sample_sparse(template, pose6)
+            else:
+                # the reference's else-branch: template and source are the
+                # SAME first-N points, pose applied to the source
+                # (helper.split_template_source, helper.py:936-938) — not
+                # a re-rolled random subset.
+                template_n = template[:, : self.num_point]
+                source_n = apply_pose6_np(template_n, pose6)
             if self.centroid_sub:
                 c = source_n.mean(1, keepdims=True)
                 source_n = source_n - c

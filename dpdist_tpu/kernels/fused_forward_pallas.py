@@ -51,25 +51,11 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(vox_ref, delta_ref, fv_ref, w1d_ref, w1e_ref, b1_ref,
             *wb_refs, out_ref=None, table_ref=None,
             g: int, k: int, C: int, V: int, n_hidden: int):
-    dtype = fv_ref.dtype
-    fv = fv_ref[0]                                    # (V, C)
-    kh = k // 2
-    vol = fv.reshape(g, g, g, C)
-    padded = jnp.pad(vol, ((kh, kh), (kh, kh), (kh, kh), (0, 0)))
-    o = 0
-    for di in range(k):
-        for dj in range(k):
-            for dl in range(k):
-                sl = padded[di:di + g, dj:dj + g, dl:dl + g, :]
-                table_ref[:, o * C:(o + 1) * C] = sl.reshape(V, C)
-                o += 1
+    from dpdist_tpu.kernels.table_gather_pallas import build_table_and_gather
 
-    vox = vox_ref[0, 0]                               # (N,)
-    N = vox.shape[0]
-    iota_v = jax.lax.broadcasted_iota(jnp.int32, (N, V), 1)
-    onehot = (vox[:, None] == iota_v).astype(dtype)
-    emb = jnp.dot(onehot, table_ref[:],
-                  preferred_element_type=jnp.float32)  # (N, E)
+    dtype = fv_ref.dtype
+    emb = build_table_and_gather(fv_ref[0], vox_ref[0, 0], table_ref,
+                                 g=g, k=k, C=C, V=V, dtype=dtype)  # (N, E)
 
     # First layer with the [delta, emb] concat algebraically split.
     delta = delta_ref[0].astype(dtype)                 # (N, 3)

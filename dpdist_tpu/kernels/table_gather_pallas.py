@@ -37,14 +37,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(vox_ref, fv_ref, out_ref, table_ref, *, g: int, k: int, C: int,
-            V: int, dtype):
-    fv = fv_ref[0]                                   # (V, C)
+def build_table_and_gather(fv, vox, table_ref, *, g: int, k: int, C: int,
+                           V: int, dtype):
+    """In-kernel helper shared with fused_forward_pallas: build the
+    (V, k^3*C) patch table in the VMEM scratch (extract_patches ordering:
+    offsets row-major over (di, dj, dl), SAME zero padding) and return
+    the one-hot gathered (N, k^3*C) rows with f32 accumulation."""
     kh = k // 2
     vol = fv.reshape(g, g, g, C)
     padded = jnp.pad(vol, ((kh, kh), (kh, kh), (kh, kh), (0, 0)))
-    # Static k^3 shifted slices into the VMEM table — extract_patches
-    # ordering: offsets row-major over (di, dj, dl).
     o = 0
     for di in range(k):
         for dj in range(k):
@@ -52,11 +53,16 @@ def _kernel(vox_ref, fv_ref, out_ref, table_ref, *, g: int, k: int, C: int,
                 sl = padded[di:di + g, dj:dj + g, dl:dl + g, :]
                 table_ref[:, o * C:(o + 1) * C] = sl.reshape(V, C)
                 o += 1
-    vox = vox_ref[0, 0]                              # (N,) int32
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (vox.shape[0], V), 1)
     onehot = (vox[:, None] == iota_v).astype(dtype)
-    out_ref[0] = jnp.dot(onehot, table_ref[:],
-                         preferred_element_type=jnp.float32).astype(dtype)
+    return jnp.dot(onehot, table_ref[:], preferred_element_type=jnp.float32)
+
+
+def _kernel(vox_ref, fv_ref, out_ref, table_ref, *, g: int, k: int, C: int,
+            V: int, dtype):
+    emb = build_table_and_gather(fv_ref[0], vox_ref[0, 0], table_ref,
+                                 g=g, k=k, C=C, V=V, dtype=dtype)
+    out_ref[0] = emb.astype(dtype)
 
 
 def _table_gather_impl(fv, vox, *, grid_size: int, k: int,

@@ -326,8 +326,10 @@ def apply_dpdist(params, state, cfg: DPDistConfig, pcA, pcB, *,
         fvB = threedmfv(pcB, cfg.embedding_size, cfg.sigma,
                         full_fv=cfg.full_fv).astype(dtype)
         nsB = {}
-        inputs_fn = (_decoder_inputs_table_vmem if fused_mode == "table"
-                     else _decoder_inputs_fused)
+        # 'full' in a train/grad pass degrades to the table kernel (the
+        # differentiable VMEM path), NOT the per-query 'on' kernel.
+        inputs_fn = (_decoder_inputs_fused if fused_mode == "on"
+                     else _decoder_inputs_table_vmem)
         xAB, maskAB = inputs_fn(cfg, pcB, fvA)
         xBA, maskBA = inputs_fn(cfg, pcA, fvB)
     else:

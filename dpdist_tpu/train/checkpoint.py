@@ -61,6 +61,23 @@ def restore_checkpoint(path: str, template: Any):
     return restored, meta.get("step"), meta.get("metadata", {})
 
 
+def restore_params_maybe_state(path: str, params_template: Any,
+                               state_template: Any):
+    """Restore a {'params', 'state'} checkpoint, falling back to the
+    params-only round-1 format.
+
+    Returns (params, state_or_None, step). The one place the fallback
+    logic lives — eval/trainer/CLI callers must not re-implement it.
+    """
+    try:
+        tree, step, _ = restore_checkpoint(
+            path, {"params": params_template, "state": state_template})
+        return tree["params"], tree["state"], step
+    except (KeyError, ValueError):
+        tree, step, _ = restore_checkpoint(path, {"params": params_template})
+        return tree["params"], None, step
+
+
 def latest_checkpoint(run_dir: str, prefix: str = "ckpt") -> Optional[str]:
     """Find the newest '<prefix>_<step>' base path in run_dir."""
     if not os.path.isdir(run_dir):

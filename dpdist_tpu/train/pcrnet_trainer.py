@@ -198,15 +198,12 @@ class PCRNetTrainer:
         return path
 
     def restore(self, path):
-        try:
-            tree, step, _ = restore_checkpoint(
-                path, {"params": jax.device_get(self.params),
-                       "state": jax.device_get(self.state)})
-            self.state = replicate(tree["state"], self.mesh)
-        except (KeyError, ValueError):
-            # pre-state checkpoint (round 1 format): params only
-            tree, step, _ = restore_checkpoint(
-                path, {"params": jax.device_get(self.params)})
-        self.params = replicate(tree["params"], self.mesh)
+        from dpdist_tpu.train.checkpoint import restore_params_maybe_state
+
+        params, state, step = restore_params_maybe_state(
+            path, jax.device_get(self.params), jax.device_get(self.state))
+        if state is not None:
+            self.state = replicate(state, self.mesh)
+        self.params = replicate(params, self.mesh)
         if step:
             self.global_step = step

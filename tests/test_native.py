@@ -73,3 +73,20 @@ def test_prefetching_loader_order_and_completeness():
     # second epoch works (reset happens inside)
     seen2 = [int(b[0, 0]) for b, _ in loader.epoch()]
     assert seen2 == seen
+
+
+def test_prefetching_loader_abandoned_epoch_recovers():
+    """Breaking out of epoch() mid-dataset (consumer exception/retry)
+    must retire the producer; the next epoch() yields a clean, complete
+    pass — not an interleave of two producers on the shared dataset."""
+    import time
+
+    ds = _FakeDataset(50)
+    loader = PrefetchingLoader(ds, depth=1)
+    it = loader.epoch()
+    first = [int(next(it)[0][0, 0]) for _ in range(3)]
+    assert first == [1, 2, 3]
+    it.close()  # abandon mid-epoch with the producer blocked on put
+    time.sleep(0.3)
+    seen = [int(b[0, 0]) for b, _ in loader.epoch()]
+    assert seen == list(range(1, 51))

@@ -151,6 +151,32 @@ def test_pcrnet_dpdist_loss_variant(tmp_path):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_sparse_else_branch_is_same_first_n_points():
+    """helper.split_template_source else-branch (helper.py:936-938):
+    template and source are the SAME first-N points (pose applied to the
+    source) — never a re-rolled random subset."""
+    ds = RegistrationDataset(n_templates=2, num_point=64, seed=0,
+                             sparse=1, s_rand_points=0.0, centroid_sub=False)
+    t, s, gt = ds.sample_batch(2)
+    # invert the pose on the source: must recover the template exactly
+    from dpdist_tpu.geometry.se3 import pose6_to_matrix, invert_transform
+    T_inv = np.asarray(invert_transform(pose6_to_matrix(jnp.asarray(gt))))
+    s_h = np.concatenate([s, np.ones((2, 64, 1), np.float32)], -1)
+    back = np.einsum("bij,bnj->bni", T_inv, s_h)[..., :3]
+    np.testing.assert_allclose(back, t, atol=1e-4)
+
+
+def test_sparse_requires_large_enough_templates():
+    """sparse=1 pools the first 2N points; smaller templates must raise
+    instead of silently producing an undersized source."""
+    import pytest
+
+    small = np.random.default_rng(0).uniform(
+        -1, 1, (2, 100, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="sparse"):
+        RegistrationDataset(templates=small, num_point=64, sparse=1)
+
+
 def test_3dmfv_encoder_ema_bn_eval_independence():
     """The 3dmfv-inception encoder's BN (ipcr_model.get_3dmfv_encoder +
     tf_util.conv3d bn=True) must use EMA running stats at eval: the pose
