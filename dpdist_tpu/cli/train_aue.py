@@ -61,11 +61,11 @@ def main(argv=None):
     ds = SurfacePairDataset(a.data_root, batch_size=tcfg.batch_size,
                             npoints=a.num_point * 2, split="train",
                             class_choice=a.category, seed=a.seed)
-    for epoch in range(a.max_epoch_aue):
-        trainer.train_epoch(ds, epoch)
-        if epoch % 10 == 0:
-            trainer.save(tag=trainer.global_step)
-    trainer.save(tag=trainer.global_step)
+    test_ds = SurfacePairDataset(a.data_root, batch_size=tcfg.batch_size,
+                                 npoints=a.num_point * 2, split="test",
+                                 class_choice=a.category, seed=a.seed)
+    best = trainer.fit(ds, test_ds, max_epoch=a.max_epoch_aue)
+    print(f"best checkpoint: {best}")
 
 
 if __name__ == "__main__":
