@@ -64,6 +64,12 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--max_epoch", type=int, default=201)
     p.add_argument("--add_noise", type=float, default=0.0)
+    p.add_argument("--encoder_occlusion", type=float, default=0.0,
+                   help="occlusion fraction applied to the ENCODER's "
+                        "conditioning cloud (labels stay vs the true "
+                        "surface); trains an occlusion-robust distance")
+    p.add_argument("--encoder_occlusion_prob", type=float, default=0.0,
+                   help="per-item probability of encoder occlusion")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_parallel", type=int, default=0,
@@ -81,6 +87,8 @@ def train_config_from_args(a) -> TrainConfig:
         weight_decay=a.weight_decay,
         max_epoch=a.max_epoch,
         add_noise=a.add_noise,
+        encoder_occlusion=getattr(a, "encoder_occlusion", 0.0),
+        encoder_occlusion_prob=getattr(a, "encoder_occlusion_prob", 0.0),
         augment=not a.no_augment,
         seed=a.seed,
     )

@@ -142,6 +142,13 @@ class TrainConfig(_JsonMixin):
     loss_type: str = "l1_dist"
     augment: bool = True
     add_noise: float = 0.0
+    # Encoder-input occlusion (round-3): corrupt the CONDITIONING cloud
+    # with kNN-ball removal + duplicate refill while the GT labels stay
+    # vs the true surface — trains the learned distance to see past the
+    # corruption class the registration evaluator's --add_occlusions
+    # applies (helper.add_occlusions semantics, helper.py:963-982).
+    encoder_occlusion: float = 0.0        # fraction of points removed
+    encoder_occlusion_prob: float = 0.0   # per-item probability
     seed: int = 0
     log_every: int = 10
     checkpoint_every_epochs: int = 10

@@ -45,23 +45,26 @@ class PrefetchingLoader:
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         stop = threading.Event()
 
+        def put_polling(item):
+            # EVERY put polls the stop flag — including the terminal
+            # sentinel and exception puts: a consumer that abandons
+            # epoch() right at exhaustion leaves the bounded queue full,
+            # and a blocking put there would deadlock the next epoch()'s
+            # thread.join().
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
+
         def produce():
             try:
                 while not stop.is_set() and self.dataset.has_next_batch():
-                    item = self.dataset.next_batch(augment=self.augment)
-                    # bounded puts poll the stop flag so an abandoned
-                    # consumer can't leave us blocked holding the dataset
-                    while not stop.is_set():
-                        try:
-                            q.put(item, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                if not stop.is_set():
-                    q.put(_SENTINEL)
+                    put_polling(self.dataset.next_batch(augment=self.augment))
+                put_polling(_SENTINEL)
             except BaseException as e:  # surfaced in the consumer
-                if not stop.is_set():
-                    q.put(e)
+                put_polling(e)
 
         t = threading.Thread(target=produce, daemon=True)
         self._thread, self._stop = t, stop

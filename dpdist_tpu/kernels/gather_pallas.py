@@ -1,6 +1,14 @@
 """Patch-gather Pallas kernel: per-query k^3-neighborhood assembly
 without materializing the (B, V, k^3*C) patch table.
 
+NEGATIVE RESULT (kept as a documented appendix + selectable A/B mode,
+cfg.fused_gather='on'): measured SLOWER than both the XLA table path and
+the VMEM patch-table kernel at the canonical config (14.3 vs 12.6 ms full
+forward at B=256) — the per-offset (TILE, V) @ (V, C=20) matmul starves
+the MXU's 128-wide lanes, while table_gather_pallas.py keeps full
+k^3*C-wide lanes. 'auto' never selects this kernel; see
+_fused_gather_mode (models/dpdist.py) for the measured dispatch table.
+
 The XLA path builds the patch table (extract_patches) and fetches rows
 with a one-hot matmul — profiling shows the table write+read is ~4 ms of
 a 12.3 ms forward at B=256 (two 1.3 GB copies). This kernel instead keeps

@@ -74,9 +74,17 @@ def init_aue(key, cfg: AUEConfig):
         state["inception"] = {"bn": bss}
         dec_in = g * g * g * (nf + nf // 2 + nf // 2 + nf)
 
-    dec_widths = [1024, 1024, N * 3]
+    if cfg.encoder == "pn":
+        # fc1/fc2 with BN, fc3 linear without (dpdist_and_aue.py:136-140).
+        dec_widths = [1024, 1024, N * 3]
+        bn_flags = [True, True, False]
+    else:
+        # The 3dmfv AUE decoder is TWO layers and keeps BN on the N*3
+        # layer (activation_fn=None but bn=True, dpdist_and_aue.py:171-175).
+        dec_widths = [1024, N * 3]
+        bn_flags = [True, True]
     layers, bp, bs = _bn_dense_chain_init(
-        k_dec, dec_in, dec_widths, bn_flags=[True, True, False]
+        k_dec, dec_in, dec_widths, bn_flags=bn_flags
     )
     params["decoder"] = {"layers": layers, "bn": bp}
     state["decoder"] = {"bn": bs}

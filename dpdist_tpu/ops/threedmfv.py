@@ -100,15 +100,24 @@ def threedmfv(points, n_gaussians: int = 512, sigma: float = 0.125,
     import os
 
     impl = os.environ.get("DPDIST_THREEDMFV_IMPL", impl) if impl == "auto" else impl
-    use_pallas = (
-        impl == "pallas"
-        or (impl == "auto" and D == 3 and full_fv and normalize
-            and N >= 128 and _on_tpu())
+    kernel_ok = D == 3 and full_fv and normalize
+    if impl == "pallas" and not kernel_ok:
+        # The fused kernel only implements the canonical full-FV normalized
+        # 3-D config; forcing it onto anything else would silently return
+        # the wrong representation.
+        raise ValueError(
+            "impl='pallas' requires D==3, full_fv=True, normalize=True "
+            f"(got D={D}, full_fv={full_fv}, normalize={normalize})")
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and kernel_ok and N >= 128 and _on_tpu()
     )
     if use_pallas:
         from dpdist_tpu.kernels.threedmfv_pallas import threedmfv_pallas
 
-        fv = threedmfv_pallas(points, n_gaussians, sigma)
+        # interpret off-TPU so a forced impl='pallas' still runs (slowly)
+        # on CPU instead of erroring inside Mosaic.
+        fv = threedmfv_pallas(points, n_gaussians, sigma,
+                              interpret=not _on_tpu())
         if flatten:
             return jnp.transpose(fv, (0, 2, 1)).reshape(B, -1)
         return fv

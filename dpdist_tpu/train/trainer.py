@@ -72,10 +72,31 @@ class DPDistTrainer:
     def _make_batch(self, batch_data, batch_labels):
         pcA, pcB, labels = assemble_dpdist_batch(batch_data, batch_labels)
         batch = {"pcA": pcA, "pcB": pcB, "labels": labels}
+        noise = None
+        if (self.tcfg.encoder_occlusion > 0
+                and self.tcfg.encoder_occlusion_prob > 0):
+            # Occlusion-robust frozen-distance training: the ENCODER sees
+            # an occluded/duplicate-refilled conditioning cloud, the labels
+            # stay vs the true surface. Routed through the additive-noise
+            # channel (apply_dpdist corrupts the encoder input only,
+            # pcA_enc = pcA + noise — the queries stay exact).
+            from dpdist_tpu.data.registration import add_occlusions_np
+
+            sel = (self._np_rng.uniform(size=pcA.shape[0])
+                   < self.tcfg.encoder_occlusion_prob)
+            occluded = pcA.copy()
+            if sel.any():
+                occluded[sel] = add_occlusions_np(
+                    pcA[sel], self.tcfg.encoder_occlusion, self._np_rng)
+            # always emit the channel (zeros when nothing selected) so the
+            # batch pytree structure — and the compiled step — is stable
+            noise = occluded - pcA
         if self.tcfg.add_noise > 0:
-            batch["noise"] = (
-                self._np_rng.standard_normal(pcA.shape) * self.tcfg.add_noise
-            ).astype(np.float32)
+            gauss = (self._np_rng.standard_normal(pcA.shape)
+                     * self.tcfg.add_noise).astype(np.float32)
+            noise = gauss if noise is None else noise + gauss
+        if noise is not None:
+            batch["noise"] = noise.astype(np.float32)
         return shard_batch(batch, self.mesh)
 
     def train_step(self, batch_data, batch_labels):

@@ -90,3 +90,21 @@ def test_prefetching_loader_abandoned_epoch_recovers():
     time.sleep(0.3)
     seen = [int(b[0, 0]) for b, _ in loader.epoch()]
     assert seen == list(range(1, 51))
+
+
+def test_prefetching_loader_abandoned_at_sentinel_recovers():
+    """ADVICE r2 (medium): abandoning epoch() AFTER the dataset is
+    exhausted — producer blocked on the terminal sentinel put with a full
+    queue — must not deadlock the next epoch()'s thread.join()."""
+    import time
+
+    ds = _FakeDataset(3)
+    loader = PrefetchingLoader(ds, depth=1)
+    it = loader.epoch()
+    assert int(next(it)[0][0, 0]) == 1
+    # Let the producer drain the dataset and block on the sentinel put
+    # (queue depth 1 already holds item 2).
+    time.sleep(0.5)
+    it.close()
+    seen = [int(b[0, 0]) for b, _ in loader.epoch()]
+    assert seen == [1, 2, 3]

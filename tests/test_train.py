@@ -130,3 +130,31 @@ def test_fit_keeps_best_checkpoint(tiny_dataset, tmp_path):
     best = trainer.fit(ds, test_ds, max_epoch=2, eval_every=1)
     assert np.isfinite(best)
     assert os.path.exists(str(tmp_path / "fit" / "ckpt_best.npz"))
+
+
+def test_encoder_occlusion_training(tiny_dataset, tmp_path):
+    """Occlusion-robust frozen-distance training (round 3): the encoder's
+    conditioning cloud is occluded via the noise channel, labels stay vs
+    the true surface; the batch pytree keeps a stable structure."""
+    tcfg = TrainConfig(batch_size=4, learning_rate=1e-3, max_epoch=2,
+                       augment=False, encoder_occlusion=0.25,
+                       encoder_occlusion_prob=0.5)
+    trainer = DPDistTrainer(MCFG, tcfg, run_dir=str(tmp_path / "runo"),
+                            mesh=make_mesh(data=1))
+    ds = SurfacePairDataset(tiny_dataset, batch_size=4, npoints=32,
+                            num_neg_points=300, seed=0)
+    bd, bl = ds.next_batch()
+    batch = trainer._make_batch(bd, bl)
+    assert "noise" in batch
+    noise = np.asarray(batch["noise"])
+    pcA = np.asarray(batch["pcA"])
+    # occluded items: noise moves points onto OTHER surface points
+    # (duplicate refill), so pcA + noise stays inside the cloud's hull
+    assert np.isfinite(noise).all()
+    corrupted = (np.abs(noise).max(axis=(1, 2)) > 0)
+    # prob 0.5 over 4 items: at least sometimes nonzero across steps
+    losses = [float(trainer.train_step(*ds.next_batch())["loss"])
+              for _ in range(3) if ds.has_next_batch()]
+    assert all(np.isfinite(l) for l in losses)
+    # config roundtrip keeps the new knobs
+    assert TrainConfig.from_json(tcfg.to_json()) == tcfg
