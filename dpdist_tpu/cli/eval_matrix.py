@@ -37,6 +37,11 @@ def main(argv=None):
     p.add_argument("--s_rand_points", type=float, default=0.0)
     p.add_argument("--centroid_sub", type=int, default=1)
     p.add_argument("--seed", type=int, default=777)
+    p.add_argument("--pose_file", default=None,
+                   help="fixed-pose CSV for protocol parity "
+                        "(results_itrPCRNet_no_stop.py:250-309); 'default' "
+                        "uses the committed 5,070-pose set and, unless "
+                        "--num_cases is given, evaluates ALL of them")
     p.add_argument("--out_dir", default="runs/matrix_eval")
     a = p.parse_args(argv)
 
@@ -50,6 +55,17 @@ def main(argv=None):
     from dpdist_tpu.eval.registration import evaluate_registration
     from dpdist_tpu.models import init_pcrnet
     from dpdist_tpu.train.checkpoint import restore_params_maybe_state
+
+    pose_file = a.pose_file
+    num_cases = a.num_cases
+    if pose_file == "default":
+        from dpdist_tpu.data.registration import default_eval_poses
+
+        pose_file = default_eval_poses()
+    if pose_file is not None and "--num_cases" not in (argv or __import__("sys").argv):
+        from dpdist_tpu.data.io import read_pose_csv
+
+        num_cases = len(read_pose_csv(pose_file))
 
     os.makedirs(a.out_dir, exist_ok=True)
     rows = []
@@ -69,27 +85,36 @@ def main(argv=None):
                 num_point=a.num_point or cfg.num_point,
                 max_rotate_deg=a.max_rotate_deg, seed=a.seed,
                 sparse=a.sparse, s_rand_points=a.s_rand_points,
-                centroid_sub=bool(a.centroid_sub))
+                centroid_sub=bool(a.centroid_sub), pose_file=pose_file)
             if cond != "clean":
                 ds = PerturbedRegistrationDataset(
                     ds, noise=(cond == "noise"),
                     occlusion_fraction=(a.occlusion_fraction
                                         if cond == "occl" else 0.0))
             rep = evaluate_registration(
-                params, cfg, ds, num_cases=a.num_cases,
+                params, cfg, ds, num_cases=num_cases,
                 iterations=a.iterations, state=state,
                 report_dir=os.path.join(a.out_dir, f"eval_{name}_{cond}"))
             with open(os.path.join(a.out_dir, f"{name}_{cond}.json"),
                       "w") as f:
                 json.dump(rep, f, indent=2)
-            row = (f"{name:10s} {cond:6s} rot {rep['rot_err_mean_deg']:7.2f} "
-                   f"trans {rep['trans_err_mean']:.4f} "
-                   f"acc2.5 {rep['acc_rot2.5_trans0.05']:.3f} "
-                   f"acc5 {rep['acc_rot5.0_trans0.05']:.3f} "
-                   f"acc10 {rep['acc_rot10.0_trans0.1']:.3f} "
-                   f"acc20 {rep['acc_rot20.0_trans0.2']:.3f}")
+
+            def fmt(tag, r):
+                return (f"{name:10s} {cond:6s} {tag:10s} "
+                        f"rot {r['rot_err_mean_deg']:7.2f} "
+                        f"trans {r['trans_err_mean']:.4f} "
+                        f"acc2.5 {r['acc_rot2.5_trans0.05']:.3f} "
+                        f"acc5 {r['acc_rot5.0_trans0.05']:.3f} "
+                        f"acc10 {r['acc_rot10.0_trans0.1']:.3f} "
+                        f"acc20 {r['acc_rot20.0_trans0.2']:.3f}")
+
+            row = fmt("all", rep)
             rows.append(row)
             print(row, flush=True)
+            for fam, fr in rep.get("per_family", {}).items():
+                frow = fmt(fam, fr)
+                rows.append(frow)
+                print(frow, flush=True)
     with open(os.path.join(a.out_dir, "summary.txt"), "w") as f:
         f.write("\n".join(rows) + "\n")
 

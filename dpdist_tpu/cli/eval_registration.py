@@ -35,6 +35,9 @@ def main(argv=None):
                    help="per-point gaussian noise on sources (helper.add_noise)")
     p.add_argument("--add_occlusions", type=float, default=0.0,
                    help="fraction of each source removed as a kNN ball")
+    p.add_argument("--pose_file", default=None,
+                   help="fixed-pose CSV ('default' = the committed "
+                        "5,070-pose set; num_cases then defaults to all)")
     a = p.parse_args(argv)
 
     from dpdist_tpu.configs import PCRNetConfig
@@ -50,18 +53,30 @@ def main(argv=None):
     params, state, _ = restore_params_maybe_state(
         a.ckpt, template_params, template_state)
 
+    pose_file = a.pose_file
+    num_cases = a.num_cases
+    if pose_file == "default":
+        from dpdist_tpu.data.registration import default_eval_poses
+
+        pose_file = default_eval_poses()
+    if pose_file is not None and "--num_cases" not in (argv or __import__("sys").argv):
+        from dpdist_tpu.data.io import read_pose_csv
+
+        num_cases = len(read_pose_csv(pose_file))
+
     ds = RegistrationDataset(h5_path=a.templates_h5, families=tuple(a.families),
                              n_templates=a.n_templates, num_point=pcfg.num_point,
                              max_rotate_deg=a.max_rotate_deg, seed=a.seed,
                              sparse=a.sparse, s_rand_points=a.s_rand_points,
-                             centroid_sub=bool(a.centroid_sub))
+                             centroid_sub=bool(a.centroid_sub),
+                             pose_file=pose_file)
     if a.use_noise_data or a.add_occlusions > 0:
         from dpdist_tpu.data.registration import PerturbedRegistrationDataset
 
         ds = PerturbedRegistrationDataset(ds, noise=a.use_noise_data,
                                           occlusion_fraction=a.add_occlusions)
     report = evaluate_registration(params, pcfg, ds,
-                                   num_cases=a.num_cases,
+                                   num_cases=num_cases,
                                    iterations=a.iterations,
                                    report_dir=a.report_dir, state=state)
     print(json.dumps({k: v for k, v in report.items()

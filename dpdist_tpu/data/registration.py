@@ -37,6 +37,17 @@ def generate_poses(num_poses: int, *, max_rotate_deg: float = 45.0,
     return np.concatenate([t, d], 1).astype(np.float32)
 
 
+def default_eval_poses() -> str:
+    """Path of the committed 5,070-pose eval CSV (±45° / ±0.01, seed 2020)
+    — the repo's equivalent of the reference's checked-in
+    itr_net_test_data45_1.csv (generate_poses_ours.py layout). Evaluating
+    a fixed pose set makes results comparable across methods and rounds."""
+    import os
+
+    return os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "assets", "eval_poses_45deg_5070.csv")
+
+
 def apply_pose6_np(points: np.ndarray, pose6: np.ndarray) -> np.ndarray:
     """Batched numpy twin of geometry.apply_pose6 (Rz then Ry then Rx + t),
     bit-matching helper.apply_transformation (helper.py:229-258)."""
@@ -95,12 +106,13 @@ class PerturbedRegistrationDataset:
         self.occlusion_fraction = occlusion_fraction
 
     def sample_batch(self, batch_size, **kw):
-        t, s, gt = self.base.sample_batch(batch_size, **kw)
+        out = self.base.sample_batch(batch_size, **kw)
+        t, s, gt = out[:3]
         if self.noise:
             s = add_noise_np(s, self.base.rng)
         if self.occlusion_fraction > 0:
             s = add_occlusions_np(s, self.occlusion_fraction, self.base.rng)
-        return t, s, gt
+        return (t, s, gt) + tuple(out[3:])
 
 
 class RegistrationDataset:
@@ -113,10 +125,21 @@ class RegistrationDataset:
                  max_rotate_deg: float = 45.0, t_clip: float = 0.01,
                  scale: float = 0.8, seed: int = 0,
                  sparse: int = 0, s_rand_points: float = 0.0,
-                 centroid_sub: bool = True):
+                 centroid_sub: bool = True,
+                 poses: Optional[np.ndarray] = None,
+                 pose_file: Optional[str] = None):
         """scale: synthetic templates are scaled like the reference's
         registration data, which is built from the *_dist_c_scaled (x0.8)
         surfaces — also what a frozen DPDist loss was trained on.
+
+        poses / pose_file: FIXED-POSE protocol parity — the reference
+        evaluates a committed CSV of poses so runs are comparable across
+        methods and time (generate_poses_ours.py:4-21; consumed at
+        results_itrPCRNet_no_stop.py:250-309 with case fn pairing
+        template fn % n_templates with pose fn). When set, sample_batch
+        consumes poses SEQUENTIALLY and cycles templates in order instead
+        of sampling either randomly. The packaged default lives at
+        dpdist_tpu/assets/eval_poses_45deg_5070.csv (default_eval_poses).
 
         sparse / s_rand_points / centroid_sub reproduce the reference's
         CANONICAL experiment matrix (run_train_and_eval_PCRNet.bash:17-31:
@@ -134,6 +157,16 @@ class RegistrationDataset:
         self.sparse = int(sparse)
         self.s_rand_points = float(s_rand_points)
         self.centroid_sub = bool(centroid_sub)
+        if pose_file is not None:
+            from dpdist_tpu.data.io import read_pose_csv
+
+            poses = read_pose_csv(pose_file)
+        self.poses = None if poses is None else np.asarray(poses, np.float32)
+        self._pose_cursor = 0
+        # Per-template family label (per-family eval reporting; the
+        # reference's report machinery slices stats per run config,
+        # helper.py:795-911 — here the slicing key is the shape family).
+        self.template_families: Optional[list] = None
         if templates is not None:
             self.templates = templates.astype(np.float32)
         elif h5_path is not None:
@@ -147,6 +180,8 @@ class RegistrationDataset:
                                   n_points=max(num_point, 2048))
                 for i in range(n_templates)
             ]) * scale
+            self.template_families = [families[i % len(families)]
+                                      for i in range(n_templates)]
         assert self.templates.shape[1] >= num_point
         if self.sparse > 0 and self.templates.shape[1] < 2 * self.sparse * num_point:
             # the disjoint split pools the first 2*sparse*N points
@@ -171,18 +206,39 @@ class RegistrationDataset:
 
     def sample_batch(self, batch_size: int, *,
                      random_points_prob: Optional[float] = None,
-                     noise_prob: float = 0.0, occlusion_fraction: float = 0.0):
+                     noise_prob: float = 0.0, occlusion_fraction: float = 0.0,
+                     return_info: bool = False):
         """Training-batch synthesis (iterative_PCRNet_ours.py:380-408).
 
         random_points_prob defaults to the dataset's s_rand_points so
         protocol-level sampling (e.g. the canonical sparse split) applies
-        to callers that don't pass per-batch options (the evaluator)."""
+        to callers that don't pass per-batch options (the evaluator).
+
+        return_info=True appends an info dict (template indices + family
+        labels) for per-family evaluation reporting."""
         if random_points_prob is None:
             random_points_prob = self.s_rand_points
-        idx = self.rng.integers(0, len(self.templates), batch_size)
+        if self.poses is not None:
+            # Fixed-pose protocol: sequential poses, templates cycled in
+            # order (results_itrPCRNet_no_stop.py:240-267 semantics).
+            take = np.arange(self._pose_cursor, self._pose_cursor + batch_size)
+            self._pose_cursor += batch_size
+            idx = take % len(self.templates)
+            pose6 = self.poses[take % len(self.poses)].copy()
+        else:
+            idx = self.rng.integers(0, len(self.templates), batch_size)
+            pose6 = generate_poses(batch_size,
+                                   max_rotate_deg=self.max_rotate_deg,
+                                   t_clip=self.t_clip, rng=self.rng)
         template = self.templates[idx]
-        pose6 = generate_poses(batch_size, max_rotate_deg=self.max_rotate_deg,
-                               t_clip=self.t_clip, rng=self.rng)
+        info = None
+        if return_info:
+            fams = (None if self.template_families is None
+                    else [self.template_families[i] for i in idx])
+            info = {"template_idx": np.asarray(idx), "family": fams}
+
+        def _ret(t, s, p):
+            return (t, s, p, info) if return_info else (t, s, p)
 
         if self.sparse > 0:
             if self.rng.uniform() < random_points_prob:
@@ -204,8 +260,8 @@ class RegistrationDataset:
             if occlusion_fraction > 0:
                 source_n = add_occlusions_np(source_n, occlusion_fraction,
                                              self.rng)
-            return (template_n.astype(np.float32),
-                    source_n.astype(np.float32), pose6)
+            return _ret(template_n.astype(np.float32),
+                        source_n.astype(np.float32), pose6)
 
         source = apply_pose6_np(template, pose6)
         # Centroid subtraction (iterative_PCRNet_ours.py:385; the evaluator
@@ -230,5 +286,5 @@ class RegistrationDataset:
             source_n = add_noise_np(source_n, self.rng)
         if occlusion_fraction > 0:
             source_n = add_occlusions_np(source_n, occlusion_fraction, self.rng)
-        return (template_n.astype(np.float32), source_n.astype(np.float32),
-                pose6)
+        return _ret(template_n.astype(np.float32),
+                    source_n.astype(np.float32), pose6)

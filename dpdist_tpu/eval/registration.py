@@ -87,12 +87,20 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
     program = jax.jit(_eval_program, static_argnames=("cfg", "iterations"))
 
     all_te, all_re, all_ce = [], [], []
+    families: list = []  # per-case family labels (when the dataset has them)
     batch_times = []  # per-batch wall time; [0] includes jit compilation
     t0 = time.perf_counter()
     n_done = 0
     while n_done < num_cases:
         b = min(batch_size, num_cases - n_done)
-        template, source, gt = dataset.sample_batch(b)
+        try:
+            template, source, gt, info = dataset.sample_batch(
+                b, return_info=True)
+        except TypeError:  # dataset without per-case info support
+            template, source, gt = dataset.sample_batch(b)
+            info = None
+        fams = (info or {}).get("family")
+        families.extend(fams if fams is not None else [None] * b)
         tb = time.perf_counter()
         _, te, re, ce = program(params, state, cfg, jnp.asarray(template),
                                 jnp.asarray(source), jnp.asarray(gt),
@@ -129,6 +137,22 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
         "curve_trans_err_mean": te.mean(1).tolist(),
         "curve_convergence_mean": ce.mean(1).tolist(),
     }
+
+    # Per-family slice (VERDICT r2 #1: the reference's report machinery
+    # slices stats per run config, helper.py:795-911; here the slice key
+    # is the template's shape family).
+    if any(f is not None for f in families):
+        fam_arr = np.asarray([f or "unknown" for f in families])
+        per_family = {}
+        for fam in sorted(set(fam_arr)):
+            m = fam_arr == fam
+            per_family[fam] = {
+                "num_cases": int(m.sum()),
+                "rot_err_mean_deg": float(final_re[m].mean()),
+                "trans_err_mean": float(final_te[m].mean()),
+                **accuracy_buckets(final_re[m], final_te[m]),
+            }
+        report["per_family"] = per_family
 
     if report_dir:
         os.makedirs(report_dir, exist_ok=True)

@@ -336,3 +336,54 @@ def test_pcrnet_fit_keeps_best(tmp_path):
                   eval_every=1, eval_cases=2)
     import os
     assert os.path.exists(best + ".npz")
+
+
+def test_fixed_pose_protocol_and_per_family(tmp_path):
+    """Fixed-pose eval parity (results_itrPCRNet_no_stop.py:240-267):
+    sequential pose consumption, templates cycled in order, and the
+    per-family report slice."""
+    import os
+    from dpdist_tpu.data.registration import (
+        RegistrationDataset, default_eval_poses)
+    from dpdist_tpu.eval.registration import evaluate_registration
+    from dpdist_tpu.models import init_pcrnet
+
+    assert os.path.exists(default_eval_poses())
+    poses = np.loadtxt(default_eval_poses(), delimiter=",")
+    assert poses.shape == (5070, 6)
+    assert np.abs(poses[:, :3]).max() <= 0.01 + 1e-9
+    assert np.abs(poses[:, 3:]).max() <= np.deg2rad(45.0) + 1e-6
+
+    ds = RegistrationDataset(families=("chair", "sphere"), n_templates=4,
+                             num_point=32, seed=3, centroid_sub=False,
+                             poses=poses[:8].astype(np.float32))
+    t1, s1, gt1, info1 = ds.sample_batch(4, return_info=True)
+    t2, s2, gt2, info2 = ds.sample_batch(4, return_info=True)
+    # sequential poses...
+    np.testing.assert_allclose(np.concatenate([gt1, gt2]), poses[:8],
+                               atol=1e-6)
+    # ...and deterministic template cycling with family labels
+    np.testing.assert_array_equal(info1["template_idx"], [0, 1, 2, 3])
+    np.testing.assert_array_equal(info2["template_idx"], [0, 1, 2, 3])
+    assert info1["family"] == ["chair", "sphere", "chair", "sphere"]
+
+    # two fixed-pose datasets produce identical cases (same seed)
+    ds2 = RegistrationDataset(families=("chair", "sphere"), n_templates=4,
+                              num_point=32, seed=3, centroid_sub=False,
+                              poses=poses[:8].astype(np.float32))
+    t1b, s1b, gt1b = ds2.sample_batch(4)
+    np.testing.assert_allclose(t1, t1b)
+    np.testing.assert_allclose(s1, s1b)
+
+    # evaluator end-to-end with per-family report
+    cfg = PCRNetConfig(num_point=32, out_features=64, max_loops=2,
+                       head_widths=(64, 32))
+    params, state = init_pcrnet(jax.random.PRNGKey(0), cfg)
+    ds3 = RegistrationDataset(families=("chair", "sphere"), n_templates=4,
+                              num_point=32, seed=3,
+                              poses=poses[:8].astype(np.float32))
+    rep = evaluate_registration(params, cfg, ds3, num_cases=8,
+                                iterations=2, batch_size=8, state=state)
+    assert "per_family" in rep
+    assert set(rep["per_family"]) == {"chair", "sphere"}
+    assert rep["per_family"]["chair"]["num_cases"] == 4
