@@ -28,6 +28,10 @@ import numpy as np
 # scripts/measure_baseline.py on this host (1-core AVX512 CPU, OpenBLAS):
 # {"pairs_per_sec": 12.79, "ms_per_step": 1250.61, "batch": 16, "iters": 10}
 BASELINE_PAIRS_PER_SEC = 12.79
+# Retired round-1 denominator: estimated TF1 single-GPU throughput
+# (BASELINE.md). Emitted alongside so cross-round consumers can pick a
+# denominator explicitly instead of conflating the two under one name.
+BASELINE_EST_GPU_PAIRS_PER_SEC = 533.0
 
 
 def _time_pairs_per_sec(fn, batch, iters=30):
@@ -110,31 +114,111 @@ def main():
 
     train_64 = _time_pairs_per_sec(step_once, batch, iters=20)
 
-    # ---- Pallas-vs-XLA 3DmFV parity on the live device (VERDICT weak #6)
-    from dpdist_tpu.ops.threedmfv import threedmfv
+    # ---- bf16 mixed-precision training step (f32 master weights, bf16
+    # table + decoder compute via cfg.dtype)
+    @jax.jit
+    def train_step_bf16(p, s, o, a, b, lab):
+        def loss_fn(pp, ss):
+            pred_AB, _, new_s = apply_dpdist(pp, ss, cfg16, a, b, train=True)
+            return l1_sample_loss(pred_AB, lab), new_s
 
-    from dpdist_tpu.kernels.threedmfv_pallas import threedmfv_pallas
+        (loss, new_s), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, s)
+        updates, new_o = optimizer.update(grads, o, p)
+        import optax
 
-    parity_pts = jnp.asarray(
-        rng.uniform(-0.9, 0.9, (4, 1024, 3)).astype(np.float32))
+        return optax.apply_updates(p, updates), new_s, new_o, loss
+
+    def step16_once():
+        nonlocal params, state, opt_state
+        params, state, opt_state, loss = train_step_bf16(
+            params, state, opt_state, pcA, pcB, labels)
+        return loss
+
+    train_64_bf16 = _time_pairs_per_sec(step16_once, batch, iters=20)
+
+    # ---- frozen-loss input gradients (the registration/AUE supervision
+    # path): d dpdist(A, B) / d(A, B) through the frozen network. This is
+    # the path where the backward used to re-materialize the (B, V,
+    # k^3*C) patch table in HBM; the round-3 Pallas VJP keeps it in VMEM.
+    from dpdist_tpu.models.dpdist import dpdist_distance
+
+    @jax.jit
+    def frozen_grad(p, s, a, b):
+        return jax.grad(
+            lambda aa, bb: dpdist_distance(p, s, cfg, aa, bb), (0, 1)
+        )(a, b)
+
+    frozen_64 = _time_pairs_per_sec(
+        lambda: frozen_grad(params, state, pcA, pcB)[0], batch, iters=20)
+
+    # ---- on-chip Pallas-vs-XLA parity for EVERY kernel (VERDICT r2 #6):
+    # a Mosaic regression on real TPU must show up in the round's capture.
     on_cpu = jax.devices()[0].platform == "cpu"
-    try:
-        a = np.asarray(threedmfv_pallas(parity_pts, interpret=on_cpu))
-        b = np.asarray(threedmfv(parity_pts, impl="xla"))
-        kernel_parity = float(np.abs(a - b).max())
-    except Exception as e:  # parity failure must be visible, not fatal
-        kernel_parity = f"ERROR: {e}"
+
+    def parity(fn):
+        try:
+            return fn()
+        except Exception as e:  # parity failure must be visible, not fatal
+            return f"ERROR: {e}"
+
+    def p_threedmfv():
+        from dpdist_tpu.ops.threedmfv import threedmfv
+        from dpdist_tpu.kernels.threedmfv_pallas import threedmfv_pallas
+
+        pts = jnp.asarray(rng.uniform(-0.9, 0.9, (4, 1024, 3)).astype(np.float32))
+        a = np.asarray(threedmfv_pallas(pts, interpret=on_cpu))
+        b = np.asarray(threedmfv(pts, impl="xla"))
+        return float(np.abs(a - b).max())
+
+    def p_table_gather():
+        from dpdist_tpu.kernels.table_gather_pallas import table_gather
+        from dpdist_tpu.ops.voxel import voxel_assign, extract_patches, gather_patches
+
+        fv = jnp.asarray(rng.standard_normal((4, 512, 20)).astype(np.float32))
+        q = jnp.asarray(rng.uniform(-1.1, 1.1, (4, 64, 3)).astype(np.float32))
+        vox, mask, _ = voxel_assign(q, 8)
+        a = np.asarray(table_gather(fv, vox, 8, 5, interpret=on_cpu))
+        b = np.asarray(gather_patches(extract_patches(fv, 8, 5), vox, None))
+        return float(np.abs(a - b).max())  # bit-exact: expect 0.0
+
+    def p_chamfer():
+        from dpdist_tpu.kernels.chamfer_pallas import nn_min_sqdist_pallas
+        from dpdist_tpu.ops.chamfer import nn_distance
+
+        a_pts = jnp.asarray(rng.standard_normal((2, 700, 3)).astype(np.float32))
+        b_pts = jnp.asarray(rng.standard_normal((2, 900, 3)).astype(np.float32))
+        a = np.asarray(nn_min_sqdist_pallas(a_pts, b_pts, interpret=on_cpu))
+        b = np.asarray(nn_distance(a_pts, b_pts)[0])
+        return float(np.abs(a - b).max())
+
+    def p_fused_forward():
+        # bf16 serving kernel vs the composed bf16 path (same numerics
+        # class; tolerance asserted by the driver-facing field value).
+        pf = make_pair_eval(DPDistConfig(dtype="bfloat16", fused_gather="full"))
+        a = np.asarray(pf(params, state, pcA, pcB))
+        b = np.asarray(fwd16(params, state, pcA, pcB))
+        return float(np.abs(a - b).max())
 
     print(json.dumps({
         "metric": "dpdist_pairs_per_sec_per_chip",
         "value": round(fwd_64, 2),
         "unit": "pairs/s",
+        # vs_baseline == vs_baseline_measured_host; the explicitly-named
+        # twins exist so cross-round comparisons can't conflate the
+        # measured-host denominator with round-1's GPU estimate (ADVICE r2).
         "vs_baseline": round(fwd_64 / BASELINE_PAIRS_PER_SEC, 2),
+        "vs_baseline_measured_host": round(fwd_64 / BASELINE_PAIRS_PER_SEC, 2),
+        "vs_baseline_est_gpu": round(fwd_64 / BASELINE_EST_GPU_PAIRS_PER_SEC, 2),
         "baseline_measured_pairs_per_sec": BASELINE_PAIRS_PER_SEC,
         "train_step_pairs_per_sec": round(train_64, 2),
+        "train_step_bf16_pairs_per_sec": round(train_64_bf16, 2),
+        "frozen_loss_grad_pairs_per_sec": round(frozen_64, 2),
         "fwd_bf16_pairs_per_sec": round(fwd_bf16, 2),
         "fwd_np256_pairs_per_sec": round(fwd_256, 2),
-        "threedmfv_pallas_vs_xla_maxdiff": kernel_parity,
+        "threedmfv_pallas_vs_xla_maxdiff": parity(p_threedmfv),
+        "table_gather_pallas_vs_xla_maxdiff": parity(p_table_gather),
+        "chamfer_pallas_vs_xla_maxdiff": parity(p_chamfer),
+        "fused_forward_vs_composed_bf16_maxdiff": parity(p_fused_forward),
     }))
 
 

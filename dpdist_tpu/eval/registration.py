@@ -101,15 +101,24 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
             info = None
         fams = (info or {}).get("family")
         families.extend(fams if fams is not None else [None] * b)
+        if b < batch_size and n_done > 0:
+            # Pad the tail batch to the compiled shape (one program for
+            # the whole matrix — a second jit at the ragged tail costs
+            # minutes through the remote-compile tunnel); padded rows are
+            # sliced off below.
+            pad = batch_size - b
+            template = np.concatenate([template, template[:1].repeat(pad, 0)])
+            source = np.concatenate([source, source[:1].repeat(pad, 0)])
+            gt = np.concatenate([gt, gt[:1].repeat(pad, 0)])
         tb = time.perf_counter()
         _, te, re, ce = program(params, state, cfg, jnp.asarray(template),
                                 jnp.asarray(source), jnp.asarray(gt),
                                 iterations)
         te = np.asarray(te)  # synchronous fetch closes the batch timing
         batch_times.append((time.perf_counter() - tb, b))
-        all_te.append(te)
-        all_re.append(np.asarray(re))
-        all_ce.append(np.asarray(ce))
+        all_te.append(te[:, :b])
+        all_re.append(np.asarray(re)[:, :b])
+        all_ce.append(np.asarray(ce)[:, :b])
         n_done += b
     elapsed = time.perf_counter() - t0
     # Steady-state per-case time excludes the first batch (jit compile —

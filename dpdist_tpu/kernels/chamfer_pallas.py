@@ -41,11 +41,11 @@ def _min_kernel(a_ref, b_ref, out_ref, *, tn: int, tm: int,
 
     @pl.when(m_idx == 0)
     def _():
-        out_ref[0] = tile_min
+        out_ref[0, 0, 0] = tile_min
 
     @pl.when(m_idx > 0)
     def _():
-        out_ref[0] = jnp.minimum(out_ref[0], tile_min)
+        out_ref[0, 0, 0] = jnp.minimum(out_ref[0, 0, 0], tile_min)
 
 
 def _pad_points(x, tile):
@@ -80,12 +80,17 @@ def nn_min_sqdist_pallas(a, b, *, tile_n: int = 512, tile_m: int = 2048,
             pl.BlockSpec((1, tile_m, 3), lambda bb, n, m: (bb, m, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_n), lambda bb, n, m: (bb, n),
+        # (B, nt, 1, TN) with a singleton third dim: Mosaic constrains the
+        # LAST TWO block dims to be (8,128)-divisible or array-equal, and
+        # a (1, TN) trailing block over a (1, TN) trailing array satisfies
+        # it for ANY batch/tile count (a 2-D (B, nt*TN) layout breaks for
+        # B > 1 — caught by bench.py's on-chip parity capture, round 3).
+        out_specs=pl.BlockSpec((1, 1, 1, tile_n), lambda bb, n, m: (bb, n, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nt * tile_n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, nt, 1, tile_n), jnp.float32),
         interpret=interpret,
     )(a_p, b_p)
-    return out[:, :N]
+    return out.reshape(B, nt * tile_n)[:, :N]
 
 
 def chamfer_distance_pallas(pc1, pc2, *, sqrt: bool = True,

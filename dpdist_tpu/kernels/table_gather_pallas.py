@@ -17,9 +17,13 @@ cloud): per batch element it
      measured loss).
 HBM traffic becomes fv in + output out — the table never leaves VMEM.
 
-Gradients: the op is linear in fv; the custom VJP re-derives the backward
-through the XLA formulation (one transposed matmul + patch-transpose),
-like kernels/threedmfv_pallas.py does.
+Gradients: the op is linear in fv; the custom VJP runs a mirrored Pallas
+kernel (round 3): the transposed one-hot matmul (V, N) @ (N, k^3*C)
+produces the patch-table adjoint in a VMEM scratch, which is folded back
+to the (V, C) volume via the transposed pad+slice construction — so the
+TRAINING path's backward never materializes the (B, V, k^3*C) table in
+HBM either (it previously did, via the XLA re-derivation; that path is
+kept as the oracle in tests/test_kernels.py).
 
 Reference semantics reproduced: utils/dpdist_util.py local_z_3d
 (:911-960, tf.extract_volume_patches SAME) + get_emb_and_concat gather
@@ -126,8 +130,209 @@ def _tg_fwd(fv, vox, grid_size, k, interpret):
     return out, (jnp.zeros((), fv.dtype), vox)
 
 
+def _bwd_kernel(vox_ref, grad_ref, out_ref, tgrad_ref, accp_ref, *, g: int,
+                k: int, C: int, V: int, dtype):
+    """Adjoint of build_table_and_gather, entirely in VMEM.
+
+    1. table-adjoint: tgrad = onehot(vox)^T (V, N) @ grad (N, E) on the
+       MXU (the transpose of the forward's gather matmul);
+    2. fold: the forward writes table[:, o] = padded_vol[off_o : off_o+g]
+       per offset o, so dvol[x] = sum_o tgrad_o[x + kh - off_o] — the
+       transposed pad+static-slice construction (zero contributions where
+       the shifted index falls outside the grid).
+    """
+    vox = vox_ref[0, 0]                                 # (N,)
+    grad = grad_ref[0]                                  # (N, E)
+    N = vox.shape[0]
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (V, N), 0)
+    onehot_t = (vox[None, :] == iota_v).astype(dtype)   # (V, N)
+    tgrad_ref[:, :] = jnp.dot(onehot_t, grad.astype(dtype),
+                              preferred_element_type=jnp.float32)
+
+    kh = k // 2
+    # In-place accumulation on ONE padded VMEM scratch (the transposed
+    # pad+slice construction), via static-slice read-modify-write on the
+    # ref — the pallas idiom the forward's table writes use. (A jnp.pad
+    # per offset allocates 125 distinct VMEM buffers and blows the 16 MB
+    # scoped limit; a value-level .at[].add lowers to scatter-add, which
+    # Mosaic does not implement.)
+    P = g + 2 * kh
+    accp_ref[...] = jnp.zeros((P, P, P, C), jnp.float32)
+    o = 0
+    for di in range(k):
+        for dj in range(k):
+            for dl in range(k):
+                tg_o = tgrad_ref[:, o * C:(o + 1) * C].reshape(g, g, g, C)
+                accp_ref[di:di + g, dj:dj + g, dl:dl + g, :] = (
+                    accp_ref[di:di + g, dj:dj + g, dl:dl + g, :] + tg_o)
+                o += 1
+    out_ref[0] = accp_ref[kh:kh + g, kh:kh + g, kh:kh + g, :].reshape(
+        V, C).astype(dtype)
+
+
+def _table_gather_bwd_impl(vox, grad, *, grid_size: int, k: int,
+                           dtype, interpret: bool):
+    B, N = vox.shape
+    g = grid_size
+    V = g ** 3
+    E = grad.shape[-1]
+    C = E // k ** 3
+    kernel = functools.partial(_bwd_kernel, g=g, k=k, C=C, V=V,
+                               dtype=jnp.dtype(dtype))
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, E), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, V, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, V, C), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((V, E), jnp.float32),
+            pltpu.VMEM((g + 2 * (k // 2),) * 3 + (C,), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * V * N * E,
+            bytes_accessed=B * (N * E + V * C) * jnp.dtype(dtype).itemsize,
+            transcendentals=0,
+        ),
+    )(vox[:, None, :], grad)
+
+
 def _tg_bwd(grid_size, k, interpret, res, grad):
     proto, vox = res
+    dfv = _table_gather_bwd_impl(vox, grad.astype(proto.dtype),
+                                 grid_size=grid_size, k=k,
+                                 dtype=proto.dtype, interpret=interpret)
+    return (dfv, None)
+
+
+_table_gather_diff.defvjp(_tg_fwd, _tg_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused variant: voxel assignment + delta + [delta, emb] concat in-kernel
+# ---------------------------------------------------------------------------
+
+def _x_kernel(q_ref, fv_ref, out_ref, vox_out_ref, table_ref, *, g: int,
+              k: int, C: int, V: int, dtype):
+    """table_gather + the decoder-input assembly in one program:
+    computes each query's voxel id and center-relative delta on the VPU
+    (voxel_assign semantics: strict-lower/inclusive-upper cells, outside
+    points read cell 0), then writes x = [delta, patch] directly — the
+    (B, N, 3+E) decoder input never exists as an XLA concat copy."""
+    q = q_ref[0]                                       # (N, 3) f32
+    step = 2.0 / g
+    u = (q + 1.0) / step
+    idx = jnp.ceil(u).astype(jnp.int32) - 1            # (N, 3)
+    inside = jnp.all((u > 0.0) & (idx <= g - 1), axis=-1)  # (N,)
+    idx = jnp.clip(idx, 0, g - 1)
+    idx = jnp.where(inside[:, None], idx, 0)           # outside -> cell 0
+    vox = idx[:, 1] * (g * g) + idx[:, 0] * g + idx[:, 2]
+    centers = (idx.astype(jnp.float32) + 0.5) * step - 1.0
+    delta = q - centers                                # == q - centers[vox]
+
+    emb = build_table_and_gather(fv_ref[0], vox, table_ref,
+                                 g=g, k=k, C=C, V=V, dtype=dtype)
+    out_ref[0, :, :3] = delta.astype(dtype)
+    out_ref[0, :, 3:] = emb.astype(dtype)
+    vox_out_ref[0, 0] = vox
+
+
+def _table_gather_x_impl(fv, queries, *, grid_size: int, k: int,
+                         interpret: bool):
+    B, V, C = fv.shape
+    N = queries.shape[1]
+    g = grid_size
+    assert V == g ** 3, (V, g)
+    E = k ** 3 * C
+    dtype = fv.dtype
+    kernel = functools.partial(_x_kernel, g=g, k=k, C=C, V=V, dtype=dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, 3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, N, 3 + E), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, 3 + E), dtype),
+            jax.ShapeDtypeStruct((B, 1, N), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((V, E), dtype)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * V * E,
+            bytes_accessed=B * (V * C + N * (3 + E)) * fv.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(queries.astype(jnp.float32), fv)
+
+
+def table_gather_x(fv, queries, grid_size: int, k: int,
+                   interpret: bool = False):
+    """(B, V, C) fv + (B, N, 3) queries -> (B, N, 3 + k^3*C) decoder input
+    x = [delta, patch] (voxel_assign + gather + concat fused in VMEM).
+
+    Differentiable in fv (Pallas transposed kernel) AND queries
+    (d delta/d q = I within a cell; the cell assignment is piecewise
+    constant, matching the XLA path's gradient). The inside-grid mask is
+    NOT returned — compute it with voxel_assign (its vox/delta outputs
+    dead-code-eliminate when only the mask is consumed).
+    """
+    if not interpret:
+        from dpdist_tpu.ops.threedmfv import _on_tpu
+
+        interpret = not _on_tpu()
+    return _table_gather_x_diff(fv, queries, grid_size, k, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _table_gather_x_diff(fv, queries, grid_size: int, k: int,
+                         interpret: bool):
+    x, _ = _table_gather_x_impl(fv, queries, grid_size=grid_size, k=k,
+                                interpret=interpret)
+    return x
+
+
+def _tg_x_fwd(fv, queries, grid_size, k, interpret):
+    x, vox = _table_gather_x_impl(fv, queries, grid_size=grid_size, k=k,
+                                  interpret=interpret)
+    # residuals must be JAX values: 0-d protos carry the primal dtypes
+    return x, (jnp.zeros((), fv.dtype), vox[:, 0, :],
+               jnp.zeros((), queries.dtype))
+
+
+def _tg_x_bwd(grid_size, k, interpret, res, grad):
+    proto, vox, q_proto = res
+    dq = grad[..., :3].astype(q_proto.dtype)
+    dfv = _table_gather_bwd_impl(vox, grad[..., 3:].astype(proto.dtype),
+                                 grid_size=grid_size, k=k,
+                                 dtype=proto.dtype, interpret=interpret)
+    return (dfv, dq)
+
+
+_table_gather_x_diff.defvjp(_tg_x_fwd, _tg_x_bwd)
+
+
+def table_gather_bwd_xla_oracle(vox, grad, *, grid_size: int, k: int, dtype):
+    """The previous XLA-re-derived backward, kept as the test oracle for
+    the Pallas backward kernel (tight-tolerance parity asserted in
+    tests/test_kernels.py — summation order differs where several queries
+    share a voxel, so bwd parity is 1e-5-tight rather than bit-exact)."""
     B = vox.shape[0]
     V = grid_size ** 3
     C = grad.shape[-1] // k ** 3
@@ -137,8 +342,5 @@ def _tg_bwd(grid_size, k, interpret, res, grad):
         table = extract_patches(fv, grid_size, k)
         return gather_patches(table, vox, None)
 
-    _, vjp = jax.vjp(xla_ref, jnp.zeros((B, V, C), proto.dtype))
-    return vjp(grad.astype(proto.dtype)) + (None,)
-
-
-_table_gather_diff.defvjp(_tg_fwd, _tg_bwd)
+    _, vjp = jax.vjp(xla_ref, jnp.zeros((B, V, C), dtype))
+    return vjp(grad.astype(dtype))[0]

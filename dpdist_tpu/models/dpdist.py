@@ -243,12 +243,15 @@ def _decoder_inputs_fused(cfg: DPDistConfig, queries, fv):
 def _decoder_inputs_table_vmem(cfg: DPDistConfig, queries, fv):
     """VMEM-table variant (kernels/table_gather_pallas.py): the k^3 patch
     table is built in VMEM per cloud and the one-hot gather runs there —
-    the (B, V, k^3*C) table never touches HBM."""
-    from dpdist_tpu.kernels.table_gather_pallas import table_gather
+    the (B, V, k^3*C) table never touches HBM. Round 3: the fused
+    table_gather_x kernel also computes the voxel assignment + delta and
+    emits x = [delta, patch] directly, so the decoder input never exists
+    as an XLA concat copy; voxel_assign here only feeds the mask (its
+    other outputs dead-code-eliminate)."""
+    from dpdist_tpu.kernels.table_gather_pallas import table_gather_x
 
-    vox, mask, delta = voxel_assign(queries, cfg.grid_size)
-    emb = table_gather(fv, vox, cfg.grid_size, cfg.k)
-    x = jnp.concatenate([delta.astype(fv.dtype), emb], axis=-1)
+    _, mask, _ = voxel_assign(queries, cfg.grid_size)
+    x = table_gather_x(fv, queries, cfg.grid_size, cfg.k)
     return x, mask
 
 
@@ -344,30 +347,38 @@ def apply_dpdist(params, state, cfg: DPDistConfig, pcA, pcB, *,
         xAB, maskAB = _decoder_inputs(cfg, pcB, tableA)  # B's pts vs surf(A)
         xBA, maskBA = _decoder_inputs(cfg, pcA, tableB)  # A's pts vs surf(B)
 
-    # One 2B batch through the decoder — preserves BN-on batch statistics
-    # semantics of the reference's tf.concat([net, netB], 0)
-    # (dpdist_util.py:511).
-    x = jnp.concatenate([xAB, xBA], axis=0)
     dtype = jnp.dtype(cfg.dtype)
     dec_params = params["decoder"]
     if dtype != jnp.float32:
         # True low-precision decoder: cast inputs AND params so the
         # matmuls run natively in cfg.dtype (casting only x would promote
         # straight back to fp32).
-        x = x.astype(dtype)
         dec_params = jax.tree_util.tree_map(lambda w: w.astype(dtype),
                                             dec_params)
-    if cfg.conv_version == 3 and cfg.k > 0:
-        y = _conv3d_decode(dec_params, cfg, x)
-        dec_state = {}
+
+    def _decode(xx):
+        if dtype != jnp.float32:
+            xx = xx.astype(dtype)
+        if cfg.conv_version == 3 and cfg.k > 0:
+            return _conv3d_decode(dec_params, cfg, xx), {}
+        return mlp_apply(dec_params, state.get("decoder", {}), xx,
+                         train=train, bn_momentum=bn_momentum)
+
+    if cfg.use_bn:
+        # One 2B batch through the decoder — preserves BN-on batch
+        # statistics semantics of the reference's tf.concat([net, netB],
+        # 0) (dpdist_util.py:511).
+        y, dec_state = _decode(jnp.concatenate([xAB, xBA], axis=0))
+        yAB, yBA = jnp.split(y, 2, axis=0)
     else:
-        y, dec_state = mlp_apply(
-            dec_params, state.get("decoder", {}), x, train=train,
-            bn_momentum=bn_momentum,
-        )
-    y = y.astype(jnp.float32)
-    y = _output_activation(y, cfg.output_act)
-    pred_AB, pred_BA = jnp.split(y, 2, axis=0)
+        # BN off (the canonical config): each decoder row is independent,
+        # so the directions decode separately — the (2B, N, 3+E) concat
+        # copy disappears and XLA can overlap direction AB's decode with
+        # direction BA's gather.
+        yAB, dec_state = _decode(xAB)
+        yBA, _ = _decode(xBA)
+    pred_AB = _output_activation(yAB.astype(jnp.float32), cfg.output_act)
+    pred_BA = _output_activation(yBA.astype(jnp.float32), cfg.output_act)
     if cfg.k > 0:
         pred_AB = pred_AB * maskAB[..., None]
         pred_BA = pred_BA * maskBA[..., None]

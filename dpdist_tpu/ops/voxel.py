@@ -133,6 +133,42 @@ def extract_patches_2d(volume_features, grid_size: int, k: int):
     return patches.reshape(B, V, k * k * C)
 
 
+def point_cloud_to_volume(points, vsize: int = 12, radius: float = 1.0):
+    """Binary occupancy voxelization (reference pc_util.py:41-52).
+
+    Accepts (N, 3) or batched (B, N, 3) points in [-radius, radius];
+    returns (vsize, vsize, vsize) / (B, vsize, ...) float32 occupancy.
+    TPU-first: one vectorized scatter instead of the reference's fancy
+    indexing, and batched natively (the reference loops per cloud,
+    pc_util.py:24-38).
+    """
+    pts = jnp.asarray(points)
+    squeeze = pts.ndim == 2
+    if squeeze:
+        pts = pts[None]
+    voxel = 2.0 * radius / float(vsize)
+    loc = ((pts + radius) / voxel).astype(jnp.int32)
+    loc = jnp.clip(loc, 0, vsize - 1)
+    flat = (loc[..., 0] * vsize + loc[..., 1]) * vsize + loc[..., 2]
+    vol = jnp.zeros((pts.shape[0], vsize ** 3), jnp.float32)
+    vol = jax.vmap(lambda v, f: v.at[f].set(1.0))(vol, flat)
+    vol = vol.reshape(pts.shape[0], vsize, vsize, vsize)
+    return vol[0] if squeeze else vol
+
+
+def volume_to_point_cloud(vol) -> np.ndarray:
+    """Occupied-cell indices as an (N, 3) array (pc_util.py:57-72).
+
+    Host-side by nature (variable-length output); one np.argwhere
+    replaces the reference's triple python loop.
+    """
+    v = np.asarray(vol)
+    vsize = v.shape[0]
+    assert v.shape[1] == vsize and v.shape[2] == vsize
+    pts = np.argwhere(v == 1)
+    return pts.astype(np.float64) if len(pts) else np.zeros((0, 3))
+
+
 def gather_patches(patch_table, vox, mask):
     """Fetch each query point's voxel patch via a one-hot matmul.
 

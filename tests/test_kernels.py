@@ -75,11 +75,16 @@ def test_fused_gather_model_forward_matches(rng):
 
 
 def test_table_gather_kernel_exact(rng):
-    """VMEM patch-table kernel == extract_patches + gather_patches, fwd
-    and bwd (the op is linear in fv so parity is exact)."""
+    """VMEM patch-table kernel == extract_patches + gather_patches: the
+    forward is BIT-exact (each query reads exactly one voxel row). The
+    round-3 Pallas backward folds multiple query-grads per voxel, so its
+    summation order differs from the XLA oracle — parity is tight-
+    tolerance, and additionally cross-checked against the retained XLA
+    backward oracle (table_gather_bwd_xla_oracle)."""
     import jax
     from dpdist_tpu.ops.voxel import voxel_assign, extract_patches, gather_patches
-    from dpdist_tpu.kernels.table_gather_pallas import table_gather
+    from dpdist_tpu.kernels.table_gather_pallas import (
+        table_gather, table_gather_bwd_xla_oracle)
 
     for g, k, C in ((8, 5, 20), (4, 3, 7)):
         V = g ** 3
@@ -95,8 +100,23 @@ def test_table_gather_kernel_exact(rng):
             lambda f: gather_patches(extract_patches(f, g, k), vox, mask), fv)
         _, vjp_n = jax.vjp(
             lambda f: table_gather(f, vox, g, k, interpret=True), fv)
-        np.testing.assert_array_equal(np.asarray(vjp_n(gout)[0]),
-                                      np.asarray(vjp_r(gout)[0]))
+        dr = np.asarray(vjp_r(gout)[0])
+        dn = np.asarray(vjp_n(gout)[0])
+        np.testing.assert_allclose(dn, dr, rtol=1e-5, atol=1e-5)
+        do = np.asarray(table_gather_bwd_xla_oracle(
+            vox, gout, grid_size=g, k=k, dtype=fv.dtype))
+        np.testing.assert_allclose(dn, do, rtol=1e-5, atol=1e-5)
+        # many-to-one voxel mapping is the order-sensitive case: all
+        # queries in one voxel
+        pts_same = jnp.zeros((2, 12, 3), jnp.float32) + 0.01
+        vox_s, _, _ = voxel_assign(pts_same, g)
+        _, vjp_s = jax.vjp(
+            lambda f: table_gather(f, vox_s, g, k, interpret=True), fv)
+        _, vjp_sr = jax.vjp(
+            lambda f: gather_patches(extract_patches(f, g, k), vox_s, None), fv)
+        np.testing.assert_allclose(np.asarray(vjp_s(gout)[0]),
+                                   np.asarray(vjp_sr(gout)[0]),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_table_gather_model_forward_matches(rng):
@@ -145,3 +165,34 @@ def test_fused_forward_full_matches_bf16_path(rng):
     # train=True must NOT take the non-differentiable fast path
     at, _, _ = apply_dpdist(params, state, full, pcA, pcB, train=True)
     assert np.isfinite(np.asarray(at)).all()
+
+
+def test_table_gather_x_fused_matches_xla(rng):
+    """Round-3 fused x-kernel (voxel assign + delta + [delta, patch]
+    concat in VMEM) == the composed XLA path, fwd and both VJPs."""
+    import jax
+    from dpdist_tpu.ops.voxel import voxel_assign, extract_patches, gather_patches
+    from dpdist_tpu.kernels.table_gather_pallas import table_gather_x
+
+    g, k, C = 8, 5, 20
+    V = g ** 3
+    fv = jnp.asarray(rng.normal(size=(2, V, C)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 16, 3)).astype(np.float32))
+
+    def xla_x(f, qq):
+        vox, mask, delta = voxel_assign(qq, g)
+        emb = gather_patches(extract_patches(f, g, k), vox, None)
+        return jnp.concatenate([delta, emb], -1)
+
+    want = np.asarray(xla_x(fv, q))
+    got = np.asarray(table_gather_x(fv, q, g, k, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+    co = jnp.asarray(rng.normal(size=want.shape).astype(np.float32))
+    gx = jax.grad(lambda f, qq: jnp.sum(xla_x(f, qq) * co), (0, 1))(fv, q)
+    gp = jax.grad(lambda f, qq: jnp.sum(
+        table_gather_x(f, qq, g, k, interpret=True) * co), (0, 1))(fv, q)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]),
+                               rtol=1e-5, atol=1e-5)

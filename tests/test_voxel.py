@@ -62,3 +62,31 @@ def test_gather_patches_one_hot(rng):
     got = np.asarray(gather_patches(jnp.asarray(table), jnp.asarray(vox), jnp.asarray(mask)))
     want = np.take_along_axis(table, vox[..., None].repeat(E, -1), 1)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_volume_roundtrip_matches_reference_semantics(rng):
+    """point_cloud_to_volume / volume_to_point_cloud (pc_util.py:24-72):
+    occupancy semantics vs a literal numpy re-execution, plus roundtrip."""
+    from dpdist_tpu.ops.voxel import point_cloud_to_volume, volume_to_point_cloud
+
+    pts = rng.uniform(-0.999, 0.999, (50, 3)).astype(np.float32)
+    vol = np.asarray(point_cloud_to_volume(pts, vsize=12, radius=1.0))
+
+    ref = np.zeros((12, 12, 12))
+    loc = ((pts + 1.0) / (2.0 / 12)).astype(int)
+    ref[loc[:, 0], loc[:, 1], loc[:, 2]] = 1.0
+    np.testing.assert_array_equal(vol, ref)
+
+    back = volume_to_point_cloud(vol)
+    assert back.shape[1] == 3
+    assert len(back) == int(vol.sum())
+    assert set(map(tuple, back.astype(int))) == set(map(tuple, loc))
+
+    # batched variant matches per-cloud
+    batch = rng.uniform(-1, 1, (3, 20, 3)).astype(np.float32)
+    bv = np.asarray(point_cloud_to_volume(batch, vsize=8))
+    for i in range(3):
+        np.testing.assert_array_equal(
+            bv[i], np.asarray(point_cloud_to_volume(batch[i], vsize=8)))
+
+    assert volume_to_point_cloud(np.zeros((4, 4, 4))).shape == (0, 3)
