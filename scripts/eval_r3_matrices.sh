@@ -45,3 +45,20 @@ python -m dpdist_tpu.cli.eval_matrix $MF --ckpts $CK \
 cp runs/eval_multifam_r3/summary.txt results/multifam_r3/
 cp runs/eval_multifam_r3/*.json results/multifam_r3/ 2>/dev/null || true
 echo "eval battery done"
+
+# 3) occlusion experiment: r3 pair (occl-robust frozen dpdist) vs the
+#    r2 occl-trained pair, fixed poses, clean/noise/occl conditions
+OCK=""
+for spec in "occl3_dpdist=runs/canonical_occl_r3/pcr_dpdist" \
+            "occl3_chamfer=runs/canonical_occl_r3/pcr_chamfer" \
+            "occl2_dpdist=runs/canonical_occl/pcr_dpdist" \
+            "occl2_chamfer=runs/canonical_occl/pcr_chamfer"; do
+  n="${spec%%=*}"; d="${spec#*=}"
+  b="$d/pcrnet_ckpt_best"; [ -f "$b.json" ] || b="$d/pcrnet_ckpt_final"
+  [ -f "$b.json" ] && OCK="$OCK $n=$b"
+done
+python -m dpdist_tpu.cli.eval_matrix $CANON --ckpts $OCK \
+  --conditions clean noise occl --out_dir runs/eval_occl_r3
+cp runs/eval_occl_r3/summary.txt results/occl_r3/
+cp runs/eval_occl_r3/*.json results/occl_r3/ 2>/dev/null || true
+echo "occl eval done"
