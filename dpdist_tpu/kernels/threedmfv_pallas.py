@@ -128,6 +128,13 @@ def threedmfv_pallas(points, n_gaussians: int = 512, sigma: float = 0.125,
     backward pass runs through the XLA formulation (the kernel itself has
     no transpose rule), so frozen-DPDist losses can flow gradients into
     the encoded cloud at any N.
+
+    A Pallas backward was considered and rejected (round 3): the max/min
+    pools need XLA's tie-splitting gradient semantics (ties are COMMON —
+    underflowed Q=0 rows tie at the -w/(sqrt(w)N) floor), which requires
+    a second tie-counting streaming pass; and the kernel only dispatches
+    at N>=128 while every reference workload trains at np=64 on the XLA
+    path — the complexity would buy nothing on the benchmarked configs.
     """
     return _threedmfv_pallas_diff(points, n_gaussians, float(sigma), interpret)
 
