@@ -20,7 +20,7 @@ def main(argv=None):
     p.add_argument("--n_surfaces", type=int, default=8)
     p.add_argument("--num_point", type=int, default=64)
     p.add_argument("--kinds", nargs="+",
-                   default=["resample", "noise", "deform", "translate"])
+                   default=["resample", "noise", "deform", "translate", "occlude"])
     p.add_argument("--out", default=None, help="write JSON report here")
     p.add_argument("--seed", type=int, default=0)
     a = p.parse_args(argv)
@@ -38,7 +38,9 @@ def main(argv=None):
 
     report = {}
     for kind in a.kinds:
-        mags = [0.0] if kind == "resample" else [0.0, 0.02, 0.05, 0.1, 0.2]
+        mags = ([0.0] if kind == "resample"
+                else [0.0, 0.1, 0.25, 0.5] if kind == "occlude"
+                else [0.0, 0.02, 0.05, 0.1, 0.2])
         sweep = perturbation_sweep(params, state, cfg, surfaces, kind=kind,
                                    magnitudes=mags, num_point=a.num_point,
                                    seed=a.seed)

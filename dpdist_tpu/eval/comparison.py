@@ -37,6 +37,7 @@ def perturbation_sweep(params, state, cfg: DPDistConfig, surfaces,
           'noise'    : gaussian jitter of scale m
           'deform'   : low-frequency sinusoidal warp of amplitude m
           'translate': rigid shift by m along a random direction
+          'occlude'  : kNN-ball removal + duplicate refill, fraction m
 
     Returns:
       {"magnitudes": [...], "dpdist": [...], "chamfer": [...], "emd": [...]}
@@ -67,6 +68,17 @@ def perturbation_sweep(params, state, cfg: DPDistConfig, surfaces,
             elif kind == "translate":
                 d = rng.normal(size=3)
                 pcB = pcB + m * d / np.linalg.norm(d)
+            elif kind == "occlude":
+                # kNN-ball removal + duplicate refill (helper.add_occlusions
+                # semantics): the occluded cloud still lies ON the surface,
+                # so a surface distance should stay near its resample floor
+                # while correspondence metrics (chamfer/EMD) read the
+                # missing ball as geometric change.
+                if m > 0:
+                    from dpdist_tpu.data.registration import add_occlusions_np
+
+                    pcB = add_occlusions_np(pcB[None].astype(np.float32),
+                                            min(m, 0.95), rng)[0]
             elif kind != "resample":
                 raise ValueError(f"unknown kind {kind!r}")
             r = score(jnp.asarray(pcA[None], jnp.float32),

@@ -139,3 +139,15 @@ def test_bn_enabled_variant(rng):
     p1, _, s1 = apply_dpdist(params, new_state, cfg, pcA, pcB, train=False)
     p2, _, _ = apply_dpdist(params, new_state, cfg, pcA, pcB, train=False)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_direction_swap_symmetry(rng):
+    """apply(A,B).pred_AB == apply(B,A).pred_BA exactly: pins the
+    per-direction decode restructure (round 3) to the direction naming
+    (pred_AB = B's points scored against surface(A))."""
+    params, state = init_dpdist(jax.random.PRNGKey(2), CFG)
+    pcA, pcB = _clouds(rng)
+    ab1, ba1, _ = apply_dpdist(params, state, CFG, pcA, pcB)
+    ab2, ba2, _ = apply_dpdist(params, state, CFG, pcB, pcA)
+    np.testing.assert_array_equal(np.asarray(ab1), np.asarray(ba2))
+    np.testing.assert_array_equal(np.asarray(ba1), np.asarray(ab2))

@@ -74,6 +74,14 @@ def test_perturbation_sweep_shapes(rng):
     assert sweep["chamfer"][1] > sweep["chamfer"][0]
     assert 0.0 <= monotonicity(sweep["chamfer"]) <= 1.0
 
+    # occlude kind (round 3): points stay ON the surface, so chamfer's
+    # response comes from the missing ball; values must be finite and the
+    # zero-magnitude entry equals a plain resample
+    occ = perturbation_sweep(params, state, cfg, surfaces, kind="occlude",
+                             magnitudes=(0.0, 0.5), num_point=16)
+    assert all(np.isfinite(v) for v in occ["chamfer"] + occ["dpdist"])
+    assert occ["chamfer"][1] > occ["chamfer"][0]
+
 
 def test_make_templates_cli(tmp_path):
     from dpdist_tpu.cli.make_templates import main
