@@ -41,12 +41,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def build_table_and_gather(fv, vox, table_ref, *, g: int, k: int, C: int,
-                           V: int, dtype):
-    """In-kernel helper shared with fused_forward_pallas: build the
-    (V, k^3*C) patch table in the VMEM scratch (extract_patches ordering:
-    offsets row-major over (di, dj, dl), SAME zero padding) and return
-    the one-hot gathered (N, k^3*C) rows with f32 accumulation."""
+def build_patch_table(fv, table_ref, *, g: int, k: int, C: int, V: int):
+    """Build the (V, k^3*C) patch table in the VMEM scratch
+    (extract_patches ordering: offsets row-major over (di, dj, dl), SAME
+    zero padding)."""
     kh = k // 2
     vol = fv.reshape(g, g, g, C)
     padded = jnp.pad(vol, ((kh, kh), (kh, kh), (kh, kh), (0, 0)))
@@ -57,15 +55,32 @@ def build_table_and_gather(fv, vox, table_ref, *, g: int, k: int, C: int,
                 sl = padded[di:di + g, dj:dj + g, dl:dl + g, :]
                 table_ref[:, o * C:(o + 1) * C] = sl.reshape(V, C)
                 o += 1
+
+
+def gather_rows(table_ref, vox, *, V: int, dtype):
+    """One-hot MXU gather of the queries' voxel rows from the VMEM table
+    with f32 accumulation."""
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (vox.shape[0], V), 1)
     onehot = (vox[:, None] == iota_v).astype(dtype)
     return jnp.dot(onehot, table_ref[:], preferred_element_type=jnp.float32)
 
 
+def build_table_and_gather(fv, vox, table_ref, *, g: int, k: int, C: int,
+                           V: int, dtype):
+    """In-kernel helper shared with fused_forward_pallas: build + gather."""
+    build_patch_table(fv, table_ref, g=g, k=k, C=C, V=V)
+    return gather_rows(table_ref, vox, V=V, dtype=dtype)
+
+
 def _kernel(vox_ref, fv_ref, out_ref, table_ref, *, g: int, k: int, C: int,
             V: int, dtype):
-    emb = build_table_and_gather(fv_ref[0], vox_ref[0, 0], table_ref,
-                                 g=g, k=k, C=C, V=V, dtype=dtype)
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        build_patch_table(fv_ref[0], table_ref, g=g, k=k, C=C, V=V)
+
+    emb = gather_rows(table_ref, vox_ref[0, 0], V=V, dtype=dtype)
     out_ref[0] = emb.astype(dtype)
 
 
@@ -77,21 +92,29 @@ def _table_gather_impl(fv, vox, *, grid_size: int, k: int,
     assert V == g ** 3, (V, g)
     E = k ** 3 * C
     dtype = fv.dtype
+    # Query-axis tiling keeps blocks + scratch under the 16 MB scoped
+    # VMEM budget at large N (same scheme as table_gather_x).
+    tile = int(min(max(8, -(-N // 8) * 8), 128))
+    nt = -(-N // tile)
+    Np = nt * tile
+    if Np != N:
+        vox = jnp.concatenate(
+            [vox, jnp.zeros((B, Np - N), vox.dtype)], axis=1)
     kernel = functools.partial(_kernel, g=g, k=k, C=C, V=V, dtype=dtype)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B, nt),
         in_specs=[
             # (B, 1, N) so the block's trailing dims equal the array dims
             # (Mosaic tiling rule: divisible by (8, 128) or full-size).
-            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, tile), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, V, C), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, N, E), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, tile, E), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, E), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Np, E), dtype),
         scratch_shapes=[pltpu.VMEM((V, E), dtype)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -100,6 +123,7 @@ def _table_gather_impl(fv, vox, *, grid_size: int, k: int,
             transcendentals=0,
         ),
     )(vox[:, None, :], fv)
+    return out[:, :N] if Np != N else out
 
 
 def table_gather(fv, vox, grid_size: int, k: int, interpret: bool = False):
@@ -131,24 +155,43 @@ def _tg_fwd(fv, vox, grid_size, k, interpret):
 
 
 def _bwd_kernel(vox_ref, grad_ref, out_ref, tgrad_ref, accp_ref, *, g: int,
-                k: int, C: int, V: int, dtype):
+                k: int, C: int, V: int, dtype, nt: int):
     """Adjoint of build_table_and_gather, entirely in VMEM.
 
-    1. table-adjoint: tgrad = onehot(vox)^T (V, N) @ grad (N, E) on the
-       MXU (the transpose of the forward's gather matmul);
-    2. fold: the forward writes table[:, o] = padded_vol[off_o : off_o+g]
-       per offset o, so dvol[x] = sum_o tgrad_o[x + kh - off_o] — the
-       transposed pad+static-slice construction (zero contributions where
-       the shifted index falls outside the grid).
+    1. table-adjoint: tgrad = onehot(vox)^T (V, T) @ grad (T, E) on the
+       MXU (the transpose of the forward's gather matmul), accumulated
+       across sequential query tiles in the persistent scratch (padded
+       tail rows carry zero grad, so they contribute nothing);
+    2. fold (last tile): the forward writes table[:, o] =
+       padded_vol[off_o : off_o+g] per offset o, so
+       dvol[x] = sum_o tgrad_o[x + kh - off_o] — the transposed
+       pad+static-slice construction (zero contributions where the
+       shifted index falls outside the grid).
     """
-    vox = vox_ref[0, 0]                                 # (N,)
-    grad = grad_ref[0]                                  # (N, E)
-    N = vox.shape[0]
-    iota_v = jax.lax.broadcasted_iota(jnp.int32, (V, N), 0)
-    onehot_t = (vox[None, :] == iota_v).astype(dtype)   # (V, N)
-    tgrad_ref[:, :] = jnp.dot(onehot_t, grad.astype(dtype),
-                              preferred_element_type=jnp.float32)
+    t_idx = pl.program_id(1)
+    vox = vox_ref[0, 0]                                 # (T,)
+    grad = grad_ref[0]                                  # (T, E)
+    T = vox.shape[0]
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (V, T), 0)
+    onehot_t = (vox[None, :] == iota_v).astype(dtype)   # (V, T)
+    part = jnp.dot(onehot_t, grad.astype(dtype),
+                   preferred_element_type=jnp.float32)
 
+    @pl.when(t_idx == 0)
+    def _():
+        tgrad_ref[:, :] = part
+
+    @pl.when(t_idx > 0)
+    def _():
+        tgrad_ref[:, :] = tgrad_ref[:, :] + part
+
+    @pl.when(t_idx == nt - 1)
+    def _():
+        _fold_and_emit(out_ref, tgrad_ref, accp_ref, g=g, k=k, C=C, V=V,
+                       dtype=dtype)
+
+
+def _fold_and_emit(out_ref, tgrad_ref, accp_ref, *, g, k, C, V, dtype):
     kh = k // 2
     # In-place accumulation on ONE padded VMEM scratch (the transposed
     # pad+slice construction), via static-slice read-modify-write on the
@@ -177,18 +220,28 @@ def _table_gather_bwd_impl(vox, grad, *, grid_size: int, k: int,
     V = g ** 3
     E = grad.shape[-1]
     C = E // k ** 3
+    # Query-axis tiling like the forward (padded tail rows carry zero
+    # grad, so the accumulated table-adjoint is unaffected).
+    tile = int(min(max(8, -(-N // 8) * 8), 128))
+    nt = -(-N // tile)
+    Np = nt * tile
+    if Np != N:
+        vox = jnp.concatenate(
+            [vox, jnp.zeros((B, Np - N), vox.dtype)], axis=1)
+        grad = jnp.concatenate(
+            [grad, jnp.zeros((B, Np - N, E), grad.dtype)], axis=1)
     kernel = functools.partial(_bwd_kernel, g=g, k=k, C=C, V=V,
-                               dtype=jnp.dtype(dtype))
+                               dtype=jnp.dtype(dtype), nt=nt)
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B, nt),
         in_specs=[
-            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, tile), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, E), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, tile, E), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, V, C), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, V, C), lambda b, t: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, V, C), dtype),
         scratch_shapes=[
@@ -225,20 +278,30 @@ def _x_kernel(q_ref, fv_ref, out_ref, vox_out_ref, table_ref, *, g: int,
     computes each query's voxel id and center-relative delta on the VPU
     (voxel_assign semantics: strict-lower/inclusive-upper cells, outside
     points read cell 0), then writes x = [delta, patch] directly — the
-    (B, N, 3+E) decoder input never exists as an XLA concat copy."""
-    q = q_ref[0]                                       # (N, 3) f32
+    (B, N, 3+E) decoder input never exists as an XLA concat copy.
+
+    The query axis is tiled (grid minor axis): large N would blow the
+    16 MB scoped-VMEM budget (measured: N=256 f32 needs 16.7 MB
+    untiled); the patch table is built into the persistent scratch on
+    the FIRST tile only and reused across the sequential tile steps."""
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        build_patch_table(fv_ref[0], table_ref, g=g, k=k, C=C, V=V)
+
+    q = q_ref[0]                                       # (T, 3) f32
     step = 2.0 / g
     u = (q + 1.0) / step
-    idx = jnp.ceil(u).astype(jnp.int32) - 1            # (N, 3)
-    inside = jnp.all((u > 0.0) & (idx <= g - 1), axis=-1)  # (N,)
+    idx = jnp.ceil(u).astype(jnp.int32) - 1            # (T, 3)
+    inside = jnp.all((u > 0.0) & (idx <= g - 1), axis=-1)  # (T,)
     idx = jnp.clip(idx, 0, g - 1)
     idx = jnp.where(inside[:, None], idx, 0)           # outside -> cell 0
     vox = idx[:, 1] * (g * g) + idx[:, 0] * g + idx[:, 2]
     centers = (idx.astype(jnp.float32) + 0.5) * step - 1.0
     delta = q - centers                                # == q - centers[vox]
 
-    emb = build_table_and_gather(fv_ref[0], vox, table_ref,
-                                 g=g, k=k, C=C, V=V, dtype=dtype)
+    emb = gather_rows(table_ref, vox, V=V, dtype=dtype)
     out_ref[0, :, :3] = delta.astype(dtype)
     out_ref[0, :, 3:] = emb.astype(dtype)
     vox_out_ref[0, 0] = vox
@@ -252,25 +315,34 @@ def _table_gather_x_impl(fv, queries, *, grid_size: int, k: int,
     assert V == g ** 3, (V, g)
     E = k ** 3 * C
     dtype = fv.dtype
+    # Query-axis tile: keep blocks + scratch + intermediates within the
+    # 16 MB scoped-VMEM budget (the (T, 3+E) out block dominates).
+    tile = int(min(max(8, -(-N // 8) * 8), 128))
+    nt = -(-N // tile)
+    Np = nt * tile
+    q = queries.astype(jnp.float32)
+    if Np != N:
+        q = jnp.concatenate(
+            [q, jnp.zeros((B, Np - N, 3), q.dtype)], axis=1)
     kernel = functools.partial(_x_kernel, g=g, k=k, C=C, V=V, dtype=dtype)
-    return pl.pallas_call(
+    x, vox = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B, nt),
         in_specs=[
-            pl.BlockSpec((1, N, 3), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, tile, 3), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, V, C), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, N, 3 + E), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, tile, 3 + E), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, tile), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, N, 3 + E), dtype),
-            jax.ShapeDtypeStruct((B, 1, N), jnp.int32),
+            jax.ShapeDtypeStruct((B, Np, 3 + E), dtype),
+            jax.ShapeDtypeStruct((B, 1, Np), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((V, E), dtype)],
         interpret=interpret,
@@ -279,7 +351,11 @@ def _table_gather_x_impl(fv, queries, *, grid_size: int, k: int,
             bytes_accessed=B * (V * C + N * (3 + E)) * fv.dtype.itemsize,
             transcendentals=0,
         ),
-    )(queries.astype(jnp.float32), fv)
+    )(q, fv)
+    if Np != N:
+        x = x[:, :N]
+        vox = vox[:, :, :N]
+    return x, vox
 
 
 def table_gather_x(fv, queries, grid_size: int, k: int,

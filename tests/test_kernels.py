@@ -196,3 +196,40 @@ def test_table_gather_x_fused_matches_xla(rng):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_table_gather_x_large_n_tiled(rng):
+    """Query-axis tiling (N > 128 with a padded tail): fwd + both VJPs
+    must match the XLA path across tile boundaries."""
+    import jax
+    from dpdist_tpu.ops.voxel import voxel_assign, extract_patches, gather_patches
+    from dpdist_tpu.kernels.table_gather_pallas import table_gather_x, table_gather
+
+    g, k, C, N = 8, 5, 20, 300  # 3 tiles of 128 with a padded tail
+    V = g ** 3
+    fv = jnp.asarray(rng.normal(size=(2, V, C)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-1.2, 1.2, (2, N, 3)).astype(np.float32))
+
+    def xla_x(f, qq):
+        vox, _, delta = voxel_assign(qq, g)
+        emb = gather_patches(extract_patches(f, g, k), vox, None)
+        return jnp.concatenate([delta, emb], -1)
+
+    want = np.asarray(xla_x(fv, q))
+    got = np.asarray(table_gather_x(fv, q, g, k, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+    co = jnp.asarray(rng.normal(size=want.shape).astype(np.float32))
+    gx = jax.grad(lambda f, qq: jnp.sum(xla_x(f, qq) * co), (0, 1))(fv, q)
+    gp = jax.grad(lambda f, qq: jnp.sum(
+        table_gather_x(f, qq, g, k, interpret=True) * co), (0, 1))(fv, q)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]),
+                               rtol=1e-5, atol=1e-5)
+
+    # plain table_gather at large N too
+    vox, mask, _ = voxel_assign(q, g)
+    want2 = gather_patches(extract_patches(fv, g, k), vox, None)
+    got2 = table_gather(fv, vox, g, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))
