@@ -158,3 +158,36 @@ def test_cli_compare_losses(cli_env, tmp_path):
           "--num_point", "8", "--kinds", "noise", "--out", out])
     rep = json.load(open(out))
     assert "noise" in rep and len(rep["noise"]["dpdist"]) == 5
+
+
+def test_eval_registration_cli_pose_file(tmp_path):
+    """--pose_file default: num_cases covers the committed pose set and
+    the report is reproducible across runs (fixed-pose protocol)."""
+    import json
+    import numpy as np
+    import jax
+
+    from dpdist_tpu.configs import PCRNetConfig
+    from dpdist_tpu.models import init_pcrnet
+    from dpdist_tpu.train.checkpoint import save_checkpoint
+    from dpdist_tpu.cli import eval_registration as er
+
+    cfg = PCRNetConfig(num_point=16, out_features=32, max_loops=2,
+                       head_widths=(32, 16))
+    params, state = init_pcrnet(jax.random.PRNGKey(0), cfg)
+    base = str(tmp_path / "ck")
+    save_checkpoint(base, {"params": params, "state": state}, step=1,
+                    metadata={"pcrnet_config": cfg.to_json(),
+                              "loss_type": "chamfer"})
+    rd1 = str(tmp_path / "rep1")
+    argv = ["--ckpt", base, "--iterations", "2", "--num_cases", "20",
+            "--n_templates", "4", "--families", "chair", "--sparse", "1",
+            "--s_rand_points", "1.0", "--centroid_sub", "0",
+            "--pose_file", "default", "--report_dir", rd1, "--seed", "7"]
+    er.main(argv)
+    rd2 = str(tmp_path / "rep2")
+    er.main(argv[:-3] + [rd2, "--seed", "7"])
+    r1 = json.load(open(rd1 + "/registration_report.json"))
+    r2 = json.load(open(rd2 + "/registration_report.json"))
+    assert r1["num_cases"] == 20   # explicit --num_cases wins
+    assert r1["rot_err_mean_deg"] == r2["rot_err_mean_deg"]
