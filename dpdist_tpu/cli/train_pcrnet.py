@@ -44,6 +44,12 @@ def main(argv=None):
     p.add_argument("--resume", default=None, help="PCRNet checkpoint base path")
     p.add_argument("--train_single", action="store_true",
                    help="supervise every refinement iteration (reference --train_single)")
+    p.add_argument("--eval_cases", type=int, default=64,
+                   help="in-training validation cases (per-family slices "
+                        "need enough cases per family)")
+    p.add_argument("--select_family", default=None,
+                   help="best-ckpt selection on this family's eval slice "
+                        "(multi-family pooled rot err is symmetry-diluted)")
     a = p.parse_args(argv)
 
     from dpdist_tpu.configs import PCRNetConfig
@@ -77,6 +83,8 @@ def main(argv=None):
     best = trainer.fit(ds, epochs=tcfg.max_epoch,
                        batches_per_epoch=a.batches_per_epoch,
                        eval_dataset=eval_ds,
+                       eval_cases=a.eval_cases,
+                       select_family=a.select_family,
                        random_points_prob=a.s_rand_points,
                        noise_prob=a.noise_prob,
                        occlusion_fraction=a.occlusion_fraction)

@@ -162,7 +162,7 @@ class PCRNetTrainer:
 
     def fit(self, train_dataset, *, epochs: int, batches_per_epoch: int = 32,
             eval_dataset=None, eval_every: int = 10, eval_cases: int = 64,
-            **epoch_kw):
+            select_family: Optional[str] = None, **epoch_kw):
         """Train with best-checkpoint keeping (the reference saves
         best_model.ckpt every epoch, iterative_PCRNet_ours.py:335).
 
@@ -170,8 +170,16 @@ class PCRNetTrainer:
         epochs; final-epoch evaluation measured a 28-point swing at the
         (2.5°, 0.05) bucket between otherwise identical runs, so the best
         validation rotation error decides which checkpoint survives.
-        Returns the best checkpoint path (or the final one when no
-        eval_dataset is given).
+
+        select_family: on multi-family datasets the POOLED rotation error
+        is diluted by rotationally symmetric families (sphere/cylinder/
+        torus have no identifiable pose), which makes checkpoint
+        selection nearly blind — a 1200-epoch run whose final policy had
+        collapsed still looked mid-pack on the pooled metric (round 3,
+        results/multifam_r3/ts1200_*). Selecting on one identifiable
+        family's slice (e.g. 'chair', via the evaluator's per_family
+        report) restores a sharp signal. Returns the best checkpoint path
+        (or the final one when no eval_dataset is given).
         """
         best_err = float("inf")
         best_path = None
@@ -181,8 +189,13 @@ class PCRNetTrainer:
             if eval_dataset is not None and (epoch + 1) % eval_every == 0:
                 rep = self.evaluate(eval_dataset, num_cases=eval_cases,
                                     iterations=self.pcfg.max_loops * 2)
-                if rep["rot_err_mean_deg"] < best_err:
-                    best_err = rep["rot_err_mean_deg"]
+                err = rep["rot_err_mean_deg"]
+                if select_family:
+                    fam = rep.get("per_family", {}).get(select_family)
+                    if fam is not None:
+                        err = fam["rot_err_mean_deg"]
+                if err < best_err:
+                    best_err = err
                     best_path = self.save(tag="best")
         final = self.save(tag="final")
         return best_path or final
