@@ -93,8 +93,10 @@ def _table_gather_impl(fv, vox, *, grid_size: int, k: int,
     E = k ** 3 * C
     dtype = fv.dtype
     # Query-axis tiling keeps blocks + scratch under the 16 MB scoped
-    # VMEM budget at large N (same scheme as table_gather_x).
-    tile = int(min(max(8, -(-N // 8) * 8), 128))
+    # VMEM budget at large N. This kernel carries no query/delta blocks,
+    # so its tile cap is 256 (measured fit at f32: ~13.8 MB) — twice the
+    # x-kernel's 128.
+    tile = int(min(max(8, -(-N // 8) * 8), 256))
     nt = -(-N // tile)
     Np = nt * tile
     if Np != N:

@@ -247,11 +247,22 @@ def _decoder_inputs_table_vmem(cfg: DPDistConfig, queries, fv):
     table_gather_x kernel also computes the voxel assignment + delta and
     emits x = [delta, patch] directly, so the decoder input never exists
     as an XLA concat copy; voxel_assign here only feeds the mask (its
-    other outputs dead-code-eliminate)."""
-    from dpdist_tpu.kernels.table_gather_pallas import table_gather_x
+    other outputs dead-code-eliminate).
 
-    _, mask, _ = voxel_assign(queries, cfg.grid_size)
-    x = table_gather_x(fv, queries, cfg.grid_size, cfg.k)
+    Size dispatch: beyond one query tile (N > 128) the x-kernel must
+    tile its query axis to fit the 16 MB scoped-VMEM budget, and the
+    tiled variant measured ~8% slower at np=256 than the UNTILED plain
+    table kernel + XLA concat (which fits because it carries no
+    query/delta blocks) — so large N takes the two-step path."""
+    from dpdist_tpu.kernels.table_gather_pallas import table_gather, table_gather_x
+
+    if queries.shape[1] <= 128:
+        _, mask, _ = voxel_assign(queries, cfg.grid_size)
+        x = table_gather_x(fv, queries, cfg.grid_size, cfg.k)
+        return x, mask
+    vox, mask, delta = voxel_assign(queries, cfg.grid_size)
+    emb = table_gather(fv, vox, cfg.grid_size, cfg.k)
+    x = jnp.concatenate([delta.astype(fv.dtype), emb], axis=-1)
     return x, mask
 
 
