@@ -233,3 +233,34 @@ def test_table_gather_x_large_n_tiled(rng):
     want2 = gather_patches(extract_patches(fv, g, k), vox, None)
     got2 = table_gather(fv, vox, g, k, interpret=True)
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))
+
+
+def test_table_mode_large_n_dispatch(rng):
+    """The model's 'table' mode dispatches to the two-step path for
+    N > 128 (the x-kernel's single-tile VMEM limit); outputs and grads
+    must match the XLA path on both sides of the boundary."""
+    import jax
+    from dpdist_tpu.configs import DPDistConfig
+    from dpdist_tpu.models import init_dpdist, apply_dpdist
+
+    base = DPDistConfig(num_point=160, embedding_size=64, k=3,
+                        mlp=(32, 32, 32))
+    fused = base.replace(fused_gather="table")
+    params, state = init_dpdist(jax.random.PRNGKey(0), base)
+    pcA = jnp.asarray(rng.uniform(-0.8, 0.8, (2, 160, 3)).astype(np.float32))
+    pcB = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 160, 3)).astype(np.float32))
+    a0, b0, _ = apply_dpdist(params, state, base, pcA, pcB)
+    a1, b1, _ = apply_dpdist(params, state, fused, pcA, pcB)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b0), atol=2e-5)
+
+    def loss(cfg, A, B):
+        a, b2, _ = apply_dpdist(params, state, cfg, A, B)
+        return jnp.mean(a[..., 0]) + jnp.mean(b2[..., 0])
+
+    gA0, gB0 = jax.grad(loss, (1, 2))(base, pcA, pcB)
+    gA1, gB1 = jax.grad(loss, (1, 2))(fused, pcA, pcB)
+    np.testing.assert_allclose(np.asarray(gA1), np.asarray(gA0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gB1), np.asarray(gB0),
+                               rtol=1e-4, atol=1e-5)
