@@ -4,20 +4,13 @@ from __future__ import annotations
 
 import argparse
 
-import os
-
 import jax
 
 from dpdist_tpu.configs import DPDistConfig, TrainConfig
 from dpdist_tpu.parallel import make_mesh
 
-# Allow overriding the platform (e.g. DPDIST_PLATFORM=cpu for smoke runs).
-# Some environments pin JAX_PLATFORMS via sitecustomize, so the standard
-# env var cannot be relied on; this runs before backend initialization as
-# long as cli modules are imported first.
-_plat = os.environ.get("DPDIST_PLATFORM")
-if _plat:
-    jax.config.update("jax_platforms", _plat)
+# DPDIST_PLATFORM handling lives in dpdist_tpu/cli/__init__.py (imported
+# before this module), so every cli entry point honors it.
 
 
 def add_dpdist_model_args(p: argparse.ArgumentParser):
@@ -62,6 +55,9 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--optimizer", default="adam", choices=["adam", "momentum"])
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="global-norm gradient clipping (0 = off); "
+                        "stabilizes --train_single full-BPTT runs")
     p.add_argument("--max_epoch", type=int, default=201)
     p.add_argument("--add_noise", type=float, default=0.0)
     p.add_argument("--encoder_occlusion", type=float, default=0.0,
@@ -85,6 +81,7 @@ def train_config_from_args(a) -> TrainConfig:
         optimizer=a.optimizer,
         momentum=a.momentum,
         weight_decay=a.weight_decay,
+        grad_clip=getattr(a, "grad_clip", 0.0),
         max_epoch=a.max_epoch,
         add_noise=a.add_noise,
         encoder_occlusion=getattr(a, "encoder_occlusion", 0.0),

@@ -27,7 +27,8 @@ def main(argv=None):
                    choices=["clean", "noise", "occl"], type=str)
     p.add_argument("--occlusion_fraction", type=float, default=0.25)
     p.add_argument("--iterations", type=int, default=8)
-    p.add_argument("--num_cases", type=int, default=512)
+    p.add_argument("--num_cases", type=int, default=None,
+                   help="default: all poses in --pose_file, else 512")
     p.add_argument("--num_point", type=int, default=None,
                    help="defaults to the checkpoint's num_point")
     p.add_argument("--families", nargs="+", default=["chair"])
@@ -62,10 +63,13 @@ def main(argv=None):
         from dpdist_tpu.data.registration import default_eval_poses
 
         pose_file = default_eval_poses()
-    if pose_file is not None and "--num_cases" not in (argv or __import__("sys").argv):
-        from dpdist_tpu.data.io import read_pose_csv
+    if num_cases is None:
+        if pose_file is not None:
+            from dpdist_tpu.data.io import read_pose_csv
 
-        num_cases = len(read_pose_csv(pose_file))
+            num_cases = len(read_pose_csv(pose_file))
+        else:
+            num_cases = 512
 
     os.makedirs(a.out_dir, exist_ok=True)
     rows = []

@@ -16,7 +16,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt", required=True, help="PCRNetTrainer checkpoint base path")
     p.add_argument("--iterations", type=int, default=50)
-    p.add_argument("--num_cases", type=int, default=512)
+    p.add_argument("--num_cases", type=int, default=None,
+                   help="default: all poses in --pose_file, else 512")
     p.add_argument("--num_point", type=int, default=1024)
     p.add_argument("--families", nargs="+", default=["chair"])
     p.add_argument("--n_templates", type=int, default=16)
@@ -59,10 +60,13 @@ def main(argv=None):
         from dpdist_tpu.data.registration import default_eval_poses
 
         pose_file = default_eval_poses()
-    if pose_file is not None and "--num_cases" not in (argv or __import__("sys").argv):
-        from dpdist_tpu.data.io import read_pose_csv
+    if num_cases is None:
+        if pose_file is not None:
+            from dpdist_tpu.data.io import read_pose_csv
 
-        num_cases = len(read_pose_csv(pose_file))
+            num_cases = len(read_pose_csv(pose_file))
+        else:
+            num_cases = 512
 
     ds = RegistrationDataset(h5_path=a.templates_h5, families=tuple(a.families),
                              n_templates=a.n_templates, num_point=pcfg.num_point,

@@ -135,6 +135,8 @@ class TrainConfig(_JsonMixin):
     optimizer: str = "adam"
     momentum: float = 0.9
     weight_decay: float = 0.0
+    grad_clip: float = 0.0        # >0: global-norm gradient clipping
+                                  # (stabilizes full-BPTT train_single)
     max_epoch: int = 10001
     bn_init_decay: float = 0.5
     bn_decay_rate: float = 0.5

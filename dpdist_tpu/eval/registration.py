@@ -89,14 +89,26 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
     all_te, all_re, all_ce = [], [], []
     families: list = []  # per-case family labels (when the dataset has them)
     batch_times = []  # per-batch wall time; [0] includes jit compilation
+    # Probe return_info support once up front (a per-batch `except
+    # TypeError` would also swallow genuine TypeErrors raised inside a
+    # custom dataset's sample_batch).
+    import inspect
+
+    try:
+        sig = inspect.signature(dataset.sample_batch)
+        has_info = "return_info" in sig.parameters or any(
+            p.kind is inspect.Parameter.VAR_KEYWORD
+            for p in sig.parameters.values())
+    except (TypeError, ValueError):  # builtins / C callables
+        has_info = True
     t0 = time.perf_counter()
     n_done = 0
     while n_done < num_cases:
         b = min(batch_size, num_cases - n_done)
-        try:
+        if has_info:
             template, source, gt, info = dataset.sample_batch(
                 b, return_info=True)
-        except TypeError:  # dataset without per-case info support
+        else:
             template, source, gt = dataset.sample_batch(b)
             info = None
         fams = (info or {}).get("family")

@@ -28,6 +28,14 @@ def make_optimizer(cfg: TrainConfig, *, base_lr: float | None = None):
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
+    if getattr(cfg, "grad_clip", 0.0) > 0:
+        # Global-norm clipping BEFORE Adam: the full-BPTT train_single
+        # loss backprops through an 8-iteration unrolled refinement whose
+        # gradients occasionally explode late in training (round-3
+        # collapse, RESULTS.md multifam ts1200); clipping bounds the
+        # update without touching the steady-state scale.
+        opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+
     if cfg.weight_decay > 0:
         def kernel_mask(params):
             return jax.tree_util.tree_map_with_path(

@@ -121,6 +121,7 @@ class PCRNetTrainer:
                     random_points_prob: float = 0.0, noise_prob: float = 0.0,
                     occlusion_fraction: float = 0.0):
         losses = []
+        gnorms = []
         for _ in range(batches_per_epoch):
             template, source, _ = dataset.sample_batch(
                 self.tcfg.batch_size, random_points_prob=random_points_prob,
@@ -130,12 +131,17 @@ class PCRNetTrainer:
                 self._probe = (jnp.asarray(template), jnp.asarray(source))
             m = self.train_step(template, source)
             losses.append(float(m["loss"]))
+            gnorms.append(float(m["grad_norm"]))
         mean_loss = float(np.mean(losses))
         ch = float(self._monitor(self.params, self.state, *self._probe))
         self.logger.log(f" ---- epoch: {epoch + 1:03d} ---- mean loss: "
                         f"{mean_loss:f} (chamfer {ch:f})")
+        # grad-norm instrumentation for the full-BPTT stability question
+        # (pre-clip norm: the metric is computed from the raw psum'd grads).
         self.logger.metrics(self.global_step, epoch=epoch,
-                            train_loss=mean_loss, chamfer=ch)
+                            train_loss=mean_loss, chamfer=ch,
+                            grad_norm_mean=float(np.mean(gnorms)),
+                            grad_norm_max=float(np.max(gnorms)))
         return mean_loss
 
     def evaluate(self, dataset, *, num_cases: int = 64,
@@ -192,8 +198,16 @@ class PCRNetTrainer:
                 err = rep["rot_err_mean_deg"]
                 if select_family:
                     fam = rep.get("per_family", {}).get(select_family)
-                    if fam is not None:
-                        err = fam["rot_err_mean_deg"]
+                    if fam is None:
+                        # Never substitute the pooled metric: on
+                        # multi-family sets it is symmetry-diluted and
+                        # systematically lower, so it could steal the
+                        # 'best' slot from a real per-family value.
+                        self.logger.log(
+                            f"eval report lacks family {select_family!r}; "
+                            "skipping best-ckpt comparison this epoch")
+                        continue
+                    err = fam["rot_err_mean_deg"]
                 if err < best_err:
                     best_err = err
                     best_path = self.save(tag="best")
