@@ -1,6 +1,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 from scipy.spatial.distance import cdist
 from scipy.optimize import linear_sum_assignment
 
@@ -107,3 +108,40 @@ def test_blocked_emd_identical_near_zero(rng):
     x = jnp.asarray(rng.normal(size=(1, 64, 3)).astype(np.float32))
     v = float(sinkhorn_emd_blocked(x, x, iters=40, tile=32)[0])
     assert v < 0.1, v
+
+@pytest.mark.slow
+def test_blocked_emd_matches_dense_at_scale(rng):
+    """Large-N parity (VERDICT r3 next-#5): the blocked variant had no
+    N>=1024 check against the dense plan at the training schedule."""
+    from dpdist_tpu.ops.emd import sinkhorn_emd, sinkhorn_emd_blocked
+    x = jnp.asarray(rng.normal(size=(1, 1024, 3)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(1, 1024, 3)).astype(np.float32))
+    dense = np.asarray(sinkhorn_emd(x, y, 50, 0.5, 0.002))
+    blocked = np.asarray(sinkhorn_emd_blocked(
+        x, y, iters=50, eps_start=0.5, eps_end=0.002, tile=256))
+    np.testing.assert_allclose(blocked, dense, rtol=0.01, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_emd_grad_cosine_at_scale(rng):
+    """Sinkhorn input-gradient vs the exact-assignment envelope gradient
+    at N=256 (the CUDA matcher's operating range, tf_util_loss.py:42-47)."""
+    from scipy.optimize import linear_sum_assignment
+    from scipy.spatial.distance import cdist
+
+    N = 256
+    src = rng.normal(size=(N, 3)).astype(np.float32)
+    tmpl = (src + rng.normal(scale=0.15, size=(N, 3))).astype(np.float32)
+
+    def emd_sum(s):
+        return jnp.sum(sinkhorn_emd(s, jnp.asarray(tmpl)[None], 50, 0.5, 0.002))
+
+    g_sink = np.asarray(jax.grad(emd_sum)(jnp.asarray(src)[None]))[0]
+    D = cdist(src, tmpl)
+    r, c = linear_sum_assignment(D)
+    diff = src[r] - tmpl[c]
+    g_ex = np.zeros_like(src)
+    g_ex[r] = diff / (np.linalg.norm(diff, axis=1, keepdims=True) + 1e-12) / N
+    cos = (g_sink * g_ex).sum() / (
+        np.linalg.norm(g_sink) * np.linalg.norm(g_ex) + 1e-12)
+    assert cos > 0.9, cos
