@@ -1,0 +1,70 @@
+#!/bin/bash
+# Round-4 evaluation battery: seed replication (VERDICT r3 #1), BPTT-fix
+# validation (#2), and 50-iteration no-stop stability (#3) — all under
+# the FIXED 5,070-pose protocol so every cell is comparable with the
+# round-3 tables. One eval_matrix process per group (shared compile).
+#
+# Run groups individually:  bash scripts/eval_r4_matrices.sh A|B|C|all
+set -e
+cd "$(dirname "$0")/.."
+GROUP="${1:-all}"
+mkdir -p results/canonical_fixed_seeds results/multifam_r4 results/eval50_r4
+
+CANON="--iterations 8 --n_templates 64 --families chair \
+  --sparse 1 --s_rand_points 1.0 --centroid_sub 0 --seed 777 \
+  --pose_file default"
+MF="--iterations 8 --n_templates 125 --families chair sphere box cylinder torus \
+  --sparse 1 --s_rand_points 1.0 --centroid_sub 0 --seed 777 \
+  --pose_file default"
+
+# A) canonical chair seed replication: seeds 1,2 of every decisive cell
+#    (round-3 numbers are seed 0). clean/noise/occl eval columns match
+#    the round-3 canonical table.
+if [ "$GROUP" = A ] || [ "$GROUP" = all ]; then
+  CK=""
+  for cell in ts_s1_chamfer ts_s1_dpdist ts_s2_chamfer ts_s2_dpdist \
+              noise_s1_chamfer noise_s1_dpdist noise_s2_chamfer noise_s2_dpdist \
+              clean_s1_chamfer clean_s1_dpdist clean_s2_chamfer clean_s2_dpdist; do
+    b="runs/r4/$cell/pcrnet_ckpt_best"
+    [ -f "$b.json" ] && CK="$CK $cell=$b"
+  done
+  python -m dpdist_tpu.cli.eval_matrix $CANON --ckpts $CK \
+    --conditions clean noise occl --out_dir runs/eval_r4_seeds
+  cp runs/eval_r4_seeds/summary.txt results/canonical_fixed_seeds/
+  cp runs/eval_r4_seeds/*.json results/canonical_fixed_seeds/ 2>/dev/null || true
+fi
+
+# B) multifam: seed replication of the flagship ts pair + the 1200-epoch
+#    grad-clipped retrain (best AND final — the round-3 failure mode was
+#    a diverged FINAL checkpoint).
+if [ "$GROUP" = B ] || [ "$GROUP" = all ]; then
+  CK="mf1200clip=runs/r4/mf_ts1200clip_dpdist/pcrnet_ckpt_best \
+      mf1200clip_fin=runs/r4/mf_ts1200clip_dpdist/pcrnet_ckpt_final"
+  for cell in mf_ts_s1_chamfer mf_ts_s1_dpdist mf_ts_s2_chamfer mf_ts_s2_dpdist; do
+    b="runs/r4/$cell/pcrnet_ckpt_best"; f="runs/r4/$cell/pcrnet_ckpt_final"
+    [ -f "$b.json" ] && CK="$CK $cell=$b"
+    [ -f "$f.json" ] && CK="$CK ${cell}_fin=$f"
+  done
+  python -m dpdist_tpu.cli.eval_matrix $MF --ckpts $CK \
+    --conditions clean noise --out_dir runs/eval_r4_mf
+  cp runs/eval_r4_mf/summary.txt results/multifam_r4/
+  cp runs/eval_r4_mf/*.json results/multifam_r4/ 2>/dev/null || true
+fi
+
+# C) 50-iteration no-stop (the reference's canonical evaluator,
+#    results_itrPCRNet_no_stop.py:331-335): candidate stability fixes for
+#    the multifam translation drift — the r3 noise-trained ts pair and
+#    the new grad-clipped 1200-epoch model; mf_ts_s1_dpdist replicates
+#    the drifting recipe at a second seed.
+if [ "$GROUP" = C ] || [ "$GROUP" = all ]; then
+  CK="mf1200clip=runs/r4/mf_ts1200clip_dpdist/pcrnet_ckpt_best \
+      mf_dpdist_tsn=runs/multifam_r3/pcr_dpdist_tsn/pcrnet_ckpt_best \
+      mf_chamfer_tsn=runs/multifam_r3/pcr_chamfer_tsn/pcrnet_ckpt_best"
+  [ -f runs/r4/mf_ts_s1_dpdist/pcrnet_ckpt_best.json ] && \
+    CK="$CK mf_ts_s1_dpdist=runs/r4/mf_ts_s1_dpdist/pcrnet_ckpt_best"
+  python -m dpdist_tpu.cli.eval_matrix $MF --iterations 50 --ckpts $CK \
+    --conditions clean --out_dir runs/eval50_r4
+  cp runs/eval50_r4/summary.txt results/eval50_r4/
+  cp runs/eval50_r4/*.json results/eval50_r4/ 2>/dev/null || true
+fi
+echo "r4 eval battery ($GROUP) done"
