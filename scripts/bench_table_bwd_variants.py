@@ -85,6 +85,27 @@ def _mk_kernel(fold: str):
                             o += 1
                 out_ref[0] = accp_ref[kh:kh + g, kh:kh + g, kh:kh + g,
                                       :].reshape(V, C)
+            elif fold == "lanes":
+                # merged (z, C) lane layout: scratch (P, P, P*C); each
+                # offset's slab is (g, g, g*C) added at sublane offsets
+                # (di, dj) and LANE offset dl*C — lane-contiguous, so
+                # Mosaic emits ~8x2 tiled ops instead of 64 tiny (8, 20)
+                # pieces per slice-add.
+                P = g + 2 * kh
+                accp_ref[...] = jnp.zeros((P, P, P * C), jnp.float32)
+                o = 0
+                for di in range(k):
+                    for dj in range(k):
+                        for dl in range(k):
+                            tg_o = tgrad_ref[:, o * C:(o + 1) * C].reshape(
+                                g, g, g * C)
+                            accp_ref[di:di + g, dj:dj + g,
+                                     dl * C:dl * C + g * C] = (
+                                accp_ref[di:di + g, dj:dj + g,
+                                         dl * C:dl * C + g * C] + tg_o)
+                            o += 1
+                out_ref[0] = accp_ref[kh:kh + g, kh:kh + g,
+                                      kh * C:(kh + g) * C].reshape(V, C)
             else:  # separable: fold z, then y, then x as whole-tensor ops
                 # tgrad (V, k^3*C) == (gx gy gz, kx ky kz, C) row-major
                 tg = tgrad_ref[:, :].reshape(g, g, g, k, k, k, C)
@@ -109,6 +130,68 @@ def _mk_kernel(fold: str):
     return kern
 
 
+def _onehot_fold_kernel(vox_ref, grad_ref, out_ref, *, nt, n_chunks):
+    """Fold-free backward: dvol[w,c] = sum_{t,o} grad[t,o,c] *
+    [vox[t] shifted by offset o == w]. One chunked MXU matmul against a
+    one-hot built on the SHIFTED index — no table adjoint, no fold pass.
+    """
+    t_idx = pl.program_id(1)
+    vox = vox_ref[0, 0]                       # (T,)
+    grad = grad_ref[0]                        # (T, E)
+    T = vox.shape[0]
+    kh = k // 2
+    # decompose vox -> (x, y, z), precompute shifted flat index per offset
+    vz = vox % g
+    vy = (vox // g) % g
+    vx = vox // (g * g)
+    per_chunk = k * k * k // n_chunks
+    acc = jnp.zeros((V, C), jnp.float32)
+    for ci in range(n_chunks):
+        idx_cols = []
+        for oi in range(ci * per_chunk, (ci + 1) * per_chunk):
+            di, rem = oi // (k * k), oi % (k * k)
+            dj, dl = rem // k, rem % k
+            nx, ny, nz = vx + (di - kh), vy + (dj - kh), vz + (dl - kh)
+            valid = ((nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
+                     & (nz >= 0) & (nz < g))
+            w = nx * g * g + ny * g + nz
+            idx_cols.append(jnp.where(valid, w, -1))
+        w_idx = jnp.stack(idx_cols, axis=1).reshape(T * per_chunk)  # (T*pc,)
+        gslice = grad[:, ci * per_chunk * C:(ci + 1) * per_chunk * C]
+        gmat = gslice.reshape(T * per_chunk, C)
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (V, T * per_chunk), 0)
+        onehot = (w_idx[None, :] == iota_v).astype(jnp.float32)
+        acc = acc + jnp.dot(onehot, gmat,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(t_idx == 0)
+    def _():
+        out_ref[0] = acc
+
+    @pl.when(t_idx > 0)
+    def _():
+        out_ref[0] = out_ref[0] + acc
+
+
+def run_onehot_fold(vox, grad, n_chunks=5):
+    tile = int(min(max(8, -(-N // 8) * 8), 128))
+    nt = -(-N // tile)
+    kern = functools.partial(_onehot_fold_kernel, nt=nt, n_chunks=n_chunks)
+    return pl.pallas_call(
+        kern,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, E), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, V, C), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, V, C), jnp.float32),
+    )(vox[:, None, :], grad)
+
+
 def run_variant(fold, vox, grad):
     tile = int(min(max(8, -(-N // 8) * 8), 128))
     nt = -(-N // tile)
@@ -128,7 +211,9 @@ def run_variant(fold, vox, grad):
         out_shape=jax.ShapeDtypeStruct((B, V, C), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((V, E), jnp.float32),
-            pltpu.VMEM((g + 2 * kh,) * 3 + (C,), jnp.float32),
+            (pltpu.VMEM((g + 2 * kh,) * 2 + ((g + 2 * kh) * C,), jnp.float32)
+             if fold == "lanes" else
+             pltpu.VMEM((g + 2 * kh,) * 3 + (C,), jnp.float32)),
         ],
     )(vox[:, None, :], grad)
 
@@ -144,11 +229,20 @@ def main():
         v, gr, grid_size=g, k=k, dtype=jnp.float32))
     variants = {
         "bwd_shipped": lambda: ship(vox, grad),
-        "bwd_nofold": jax.jit(lambda: run_variant("none", vox, grad)),
-        "bwd_fullfold": jax.jit(lambda: run_variant("full", vox, grad)),
-        "bwd_sepfold": jax.jit(lambda: run_variant("sep", vox, grad)),
+        "bwd_lanesfold": jax.jit(lambda: run_variant("lanes", vox, grad)),
         "bwd_xla": lambda: xla(vox, grad),
     }
+    # Excluded candidates (for the record):
+    # - onehot_fold (fold absorbed into a shifted-index one-hot matmul):
+    #   numerically correct in interpret but CRASHES the Mosaic compiler
+    #   (tpu_compile_helper exit 1) for every chunking; also its (V, C=20)
+    #   output matmul runs the MXU at ~16% lane utilization, so even
+    #   compiled it would not beat the full-width (V, E) matmul + a cheap
+    #   fold.
+    # - sepfold: per-axis index math wrong (interpret maxdiff 14.7),
+    #   superseded by lanesfold before being debugged.
+    # - nofold: measured 25 ms under chip contention (slower than the
+    #   full kernel — contended numbers, kept out of the comparison).
     out = {}
     for name, fn in variants.items():
         try:
@@ -158,10 +252,15 @@ def main():
         out[name] = ms
         print(json.dumps({"variant": name, "ms": ms}), flush=True)
 
-    # numeric check: sepfold must equal the shipped fold
-    a = np.asarray(run_variant("sep", vox, grad))
+    # numeric checks vs the shipped fold
     b = np.asarray(ship(vox, grad))
-    print(json.dumps({"sep_vs_shipped_maxdiff": float(np.abs(a - b).max())}))
+    for nm, fn in (("lanes", lambda: run_variant("lanes", vox, grad)),):
+        try:
+            a = np.asarray(fn())
+            print(json.dumps(
+                {f"{nm}_vs_shipped_maxdiff": float(np.abs(a - b).max())}))
+        except Exception as e:
+            print(json.dumps({f"{nm}_check": f"ERROR: {str(e)[:200]}"}))
 
 
 if __name__ == "__main__":
