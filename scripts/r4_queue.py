@@ -88,15 +88,15 @@ def jobs():
     return J
 
 
-def main():
+def run_queue(all_jobs, dry=False):
     queue = []
-    for j in jobs():
+    for j in all_jobs:
         final = os.path.join(j["dir"], j["done"])
         if os.path.exists(final):
             print(f"[queue] skip (done): {j['dir']}", flush=True)
         else:
             queue.append(j)
-    if "--dry" in sys.argv:
+    if dry:
         for j in queue:
             print(" ".join(j["cmd"]))
         return
@@ -132,6 +132,10 @@ def main():
         else:
             time.sleep(20)
     print("[queue] ALL DONE", flush=True)
+
+
+def main():
+    run_queue(jobs(), dry="--dry" in sys.argv)
 
 
 if __name__ == "__main__":
