@@ -158,3 +158,25 @@ def test_encoder_occlusion_training(tiny_dataset, tmp_path):
     assert all(np.isfinite(l) for l in losses)
     # config roundtrip keeps the new knobs
     assert TrainConfig.from_json(tcfg.to_json()) == tcfg
+
+
+def test_grad_clip_bounds_update_norm():
+    """make_optimizer(grad_clip>0) global-norm clips BEFORE Adam (the
+    round-4 BPTT-stability fix): a scaled-up gradient must produce the
+    SAME update as the unscaled one once both exceed the clip norm."""
+    import jax.numpy as jnp
+    import optax
+    from dpdist_tpu.train.optim import make_optimizer
+
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    g = {"w": jnp.full((4,), 3.0), "b": jnp.full((2,), -4.0)}
+    big = jax.tree.map(lambda x: 100.0 * x, g)
+
+    opt = make_optimizer(TrainConfig(grad_clip=1.0, learning_rate=1e-2))
+    u1, _ = opt.update(g, opt.init(params), params)
+    u2, _ = opt.update(big, opt.init(params), params)
+    for k in u1:
+        np.testing.assert_allclose(np.asarray(u1[k]), np.asarray(u2[k]),
+                                   rtol=1e-6)
+    gnorm = float(optax.global_norm(g))
+    assert gnorm > 1.0  # premise: both inputs exceed the clip norm
