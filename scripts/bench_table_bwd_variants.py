@@ -192,6 +192,83 @@ def run_onehot_fold(vox, grad, n_chunks=5):
     )(vox[:, None, :], grad)
 
 
+def _transposed_kernel(vox_ref, gradT_ref, out_ref, pad_ref, *, nt):
+    """V-in-lanes backward: the matmul emits tgrad_T (E, V) into the
+    center columns of a lane-padded scratch; the fold is then 125
+    LANE-shifted masked adds of full-width (C, V) slabs — dense vector
+    packing instead of the (8, 20)-tile fragments of the 4-D layout.
+    Caller passes grad pre-transposed (B, E, T) and transposes the
+    (B, C, V) output back outside (cheap XLA moves)."""
+    t_idx = pl.program_id(1)
+    vox = vox_ref[0, 0]                          # (T,)
+    gradT = gradT_ref[0]                         # (E, T)
+    T = vox.shape[0]
+    kh = k // 2
+    # max |flat shift| = kh*(g*g + g + 1)
+    HALO = kh * (g * g + g + 1)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (T, V), 1)
+    onehot = (vox[:, None] == iota_v).astype(jnp.float32)   # (T, V)
+    part = jnp.dot(gradT, onehot, preferred_element_type=jnp.float32)
+
+    @pl.when(t_idx == 0)
+    def _():
+        pad_ref[:, :HALO] = jnp.zeros((E, HALO), jnp.float32)
+        pad_ref[:, HALO + V:] = jnp.zeros((E, HALO), jnp.float32)
+        pad_ref[:, HALO:HALO + V] = part
+
+    @pl.when(t_idx > 0)
+    def _():
+        pad_ref[:, HALO:HALO + V] = pad_ref[:, HALO:HALO + V] + part
+
+    @pl.when(t_idx == nt - 1)
+    def _():
+        # lane iota -> voxel components of the OUTPUT index v
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+        vx, vy, vz = lane // (g * g), (lane // g) % g, lane % g
+        acc = jnp.zeros((C, V), jnp.float32)
+        o = 0
+        for di in range(k):
+            for dj in range(k):
+                for dl in range(k):
+                    # adjoint of table[v, o] = vol[v + d - kh]:
+                    # dvol[v] += tgrad_o[v + kh - d], valid only when
+                    # every component of v + kh - d stays in-grid
+                    sx, sy, sz = kh - di, kh - dj, kh - dl
+                    off = sx * g * g + sy * g + sz
+                    m = ((vx + sx >= 0) & (vx + sx < g)
+                         & (vy + sy >= 0) & (vy + sy < g)
+                         & (vz + sz >= 0) & (vz + sz < g))
+                    slab = pad_ref[o * C:(o + 1) * C,
+                                   HALO + off:HALO + off + V]
+                    acc = acc + jnp.where(m, slab, 0.0)
+                    o += 1
+        out_ref[0] = acc
+
+
+def run_transposed(vox, gradT, interpret=False):
+    tile = int(min(max(8, -(-N // 8) * 8), 128))
+    nt = -(-N // tile)
+    kh = k // 2
+    HALO = kh * (g * g + g + 1)
+    kern = functools.partial(_transposed_kernel, nt=nt)
+    out_T = pl.pallas_call(
+        kern,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, tile), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, V), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, V), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((E, V + 2 * HALO), jnp.float32)],
+        interpret=interpret,
+    )(vox[:, None, :], gradT)
+    return jnp.swapaxes(out_T, 1, 2)  # (B, V, C)
+
+
 def run_variant(fold, vox, grad):
     tile = int(min(max(8, -(-N // 8) * 8), 128))
     nt = -(-N // tile)
@@ -227,9 +304,13 @@ def main():
         v, gr, grid_size=g, k=k, dtype=jnp.float32, interpret=False))
     xla = jax.jit(lambda v, gr: table_gather_bwd_xla_oracle(
         v, gr, grid_size=g, k=k, dtype=jnp.float32))
+    gradT = jnp.swapaxes(grad, 1, 2)
     variants = {
         "bwd_shipped": lambda: ship(vox, grad),
-        "bwd_lanesfold": jax.jit(lambda: run_variant("lanes", vox, grad)),
+        "bwd_nofold": jax.jit(lambda: run_variant("none", vox, grad)),
+        "bwd_transposed": jax.jit(lambda: run_transposed(vox, gradT)),
+        "bwd_transposed_incl_T": jax.jit(
+            lambda: run_transposed(vox, jnp.swapaxes(grad, 1, 2))),
         "bwd_xla": lambda: xla(vox, grad),
     }
     # Excluded candidates (for the record):
@@ -254,7 +335,7 @@ def main():
 
     # numeric checks vs the shipped fold
     b = np.asarray(ship(vox, grad))
-    for nm, fn in (("lanes", lambda: run_variant("lanes", vox, grad)),):
+    for nm, fn in (("transposed", lambda: run_transposed(vox, gradT)),):
         try:
             a = np.asarray(fn())
             print(json.dumps(
