@@ -151,6 +151,70 @@ def main():
     frozen_64 = _time_pairs_per_sec(
         lambda: frozen_grad(params, state, pcA, pcB)[0], batch, iters=20)
 
+    # ---- src-only frozen grad: the ACTUAL downstream hot path. PCRNet
+    # and AUE backprop the frozen loss only into the transformed source
+    # (iterative_PCRNet_ours.py:255-257); the template adjoint above is
+    # dead work kept for the symmetric-API measurement.
+    @jax.jit
+    def frozen_grad_src(p, s, a, b):
+        return jax.grad(
+            lambda aa: dpdist_distance(p, s, cfg, aa, b))(a)
+
+    frozen_src_64 = _time_pairs_per_sec(
+        lambda: frozen_grad_src(params, state, pcA, pcB), batch, iters=20)
+
+    # ---- full PCRNet train step (VERDICT r3 #4): canonical 8-loop
+    # refinement + frozen DPDist loss + Adam, at the reference batch
+    # size 16 (iterative_PCRNet_ours.py trains this exact composition).
+    from dpdist_tpu.configs import PCRNetConfig
+    from dpdist_tpu.models import init_pcrnet
+    from dpdist_tpu.models.pcrnet import pcrnet_refine
+    from dpdist_tpu.losses import make_frozen_dpdist_loss
+    import optax
+
+    pcfg = PCRNetConfig(num_point=cfg.num_point)
+    pparams, pstate = init_pcrnet(jax.random.PRNGKey(1), pcfg)
+    dp_loss = make_frozen_dpdist_loss(params, state, cfg)
+    pcr_batch = 16
+    popt = make_optimizer(TrainConfig(batch_size=pcr_batch))
+    popt_state = popt.init(pparams)
+    src16 = pcA[:pcr_batch]
+    tmpl16 = pcB[:pcr_batch]
+
+    @jax.jit
+    def pcr_step(p, ps, o, src, tmpl):
+        def lf(pp, ss):
+            src_out, _, _, new_s = pcrnet_refine(
+                pp, pcfg, src, tmpl, iterations=pcfg.max_loops,
+                stop_gradient_iters=True, state=ss, train=True,
+                return_state=True)
+            return dp_loss(src_out, tmpl), new_s
+
+        (loss, new_s), grads = jax.value_and_grad(lf, has_aux=True)(p, ps)
+        updates, new_o = popt.update(grads, o, p)
+        return optax.apply_updates(p, updates), new_s, new_o, loss
+
+    def pcr_once():
+        nonlocal pparams, pstate, popt_state
+        pparams, pstate, popt_state, loss = pcr_step(
+            pparams, pstate, popt_state, src16, tmpl16)
+        return loss
+
+    pcr_16 = _time_pairs_per_sec(pcr_once, pcr_batch, iters=30)
+
+    # ---- bf16 forward batch scaling (VERDICT r3 #8): does serving
+    # throughput climb past the per-dispatch floor by batching?
+    def fwd16_at(B):
+        a = jnp.asarray(rng.uniform(-0.8, 0.8, (B, cfg.num_point, 3))
+                        .astype(np.float32))
+        b = jnp.asarray(rng.uniform(-0.8, 0.8, (B, cfg.num_point, 3))
+                        .astype(np.float32))
+        return _time_pairs_per_sec(
+            lambda: fwd16(params, state, a, b), B, iters=15)
+
+    fwd_bf16_b512 = fwd16_at(512)
+    fwd_bf16_b1024 = fwd16_at(1024)
+
     # ---- on-chip Pallas-vs-XLA parity for EVERY kernel (VERDICT r2 #6):
     # a Mosaic regression on real TPU must show up in the round's capture.
     on_cpu = jax.devices()[0].platform == "cpu"
@@ -213,7 +277,11 @@ def main():
         "train_step_pairs_per_sec": round(train_64, 2),
         "train_step_bf16_pairs_per_sec": round(train_64_bf16, 2),
         "frozen_loss_grad_pairs_per_sec": round(frozen_64, 2),
+        "frozen_loss_grad_src_pairs_per_sec": round(frozen_src_64, 2),
+        "pcrnet_train_step_pairs_per_sec": round(pcr_16, 2),
         "fwd_bf16_pairs_per_sec": round(fwd_bf16, 2),
+        "fwd_bf16_b512_pairs_per_sec": round(fwd_bf16_b512, 2),
+        "fwd_bf16_b1024_pairs_per_sec": round(fwd_bf16_b1024, 2),
         "fwd_np256_pairs_per_sec": round(fwd_256, 2),
         "threedmfv_pallas_vs_xla_maxdiff": parity(p_threedmfv),
         "table_gather_pallas_vs_xla_maxdiff": parity(p_table_gather),
