@@ -259,11 +259,135 @@ def _table_gather_bwd_impl(vox, grad, *, grid_size: int, k: int,
     )(vox[:, None, :], grad)
 
 
+def _bwd_kernel_transposed(vox_ref, gradT_ref, out_ref, pad_ref, *, g: int,
+                           k: int, C: int, V: int, E: int, dtype, nt: int):
+    """V-in-lanes backward (round 4): the transposed one-hot matmul emits
+    the table adjoint as (E, V) — V = 512 is 4 FULL lane tiles — into the
+    center columns of a lane-padded scratch; the fold is then k^3
+    lane-shifted masked adds of dense (C, V) slabs. The 4-D fold layout's
+    (8, 8, 8, C=20) slice-adds fragment into ~64 (sublane, 20-lane) tiles
+    each at ~16% lane utilization; here every vector op runs full-width.
+
+    Two Mosaic constraints shaped this (see scripts/bench_table_bwd_variants
+    probes): value reshapes that merge sublanes into lanes crash the
+    compiler, so the relayout happens via the matmul's output orientation
+    instead; and deep value-accumulation chains (125-term acc = acc + x)
+    also crash it, so the fold accumulates via ref read-modify-write.
+    """
+    t_idx = pl.program_id(1)
+    vox = vox_ref[0, 0]                          # (T,)
+    gradT = gradT_ref[0]                         # (E, T)
+    T = vox.shape[0]
+    kh = k // 2
+    HALO = kh * (g * g + g + 1)                  # max |flat z-major shift|
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (T, V), 1)
+    onehot = (vox[:, None] == iota_v).astype(dtype)          # (T, V)
+    part = jnp.dot(gradT, onehot, preferred_element_type=jnp.float32)
+
+    @pl.when(t_idx == 0)
+    def _():
+        pad_ref[:, :HALO] = jnp.zeros((E, HALO), jnp.float32)
+        pad_ref[:, HALO + V:] = jnp.zeros((E, HALO), jnp.float32)
+        pad_ref[:, HALO:HALO + V] = part
+
+    @pl.when(t_idx > 0)
+    def _():
+        pad_ref[:, HALO:HALO + V] = pad_ref[:, HALO:HALO + V] + part
+
+    @pl.when(t_idx == nt - 1)
+    def _():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+        vx, vy, vz = lane // (g * g), (lane // g) % g, lane % g
+        out_ref[0] = jnp.zeros((C, V), dtype)
+        o = 0
+        for di in range(k):
+            for dj in range(k):
+                for dl in range(k):
+                    # adjoint of table[v, o] = vol[v + d - kh]:
+                    # dvol[v] += tgrad_o[v + kh - d], valid only where
+                    # every component of v + kh - d stays in-grid
+                    sx, sy, sz = kh - di, kh - dj, kh - dl
+                    off = sx * g * g + sy * g + sz
+                    m = ((vx + sx >= 0) & (vx + sx < g)
+                         & (vy + sy >= 0) & (vy + sy < g)
+                         & (vz + sz >= 0) & (vz + sz < g))
+                    slab = pad_ref[o * C:(o + 1) * C,
+                                   HALO + off:HALO + off + V]
+                    out_ref[0] = out_ref[0] + jnp.where(
+                        m, slab, 0.0).astype(dtype)
+                    o += 1
+
+
+def _table_gather_bwd_transposed(vox, grad, *, grid_size: int, k: int,
+                                 dtype, interpret: bool):
+    """Transposed-layout backward: same contract as
+    _table_gather_bwd_impl (vox (B, N), grad (B, N, E) -> dfv (B, V, C));
+    the (B, E, N) / (B, C, V) relayouts are cheap XLA transposes."""
+    B, N = vox.shape
+    g = grid_size
+    V = g ** 3
+    E = grad.shape[-1]
+    C = E // k ** 3
+    kh = k // 2
+    HALO = kh * (g * g + g + 1)
+    tile = int(min(max(8, -(-N // 8) * 8), 128))
+    nt = -(-N // tile)
+    Np = nt * tile
+    if Np != N:
+        vox = jnp.concatenate(
+            [vox, jnp.zeros((B, Np - N), vox.dtype)], axis=1)
+        grad = jnp.concatenate(
+            [grad, jnp.zeros((B, Np - N, E), grad.dtype)], axis=1)
+    gradT = jnp.swapaxes(grad, 1, 2)             # (B, E, Np)
+    kernel = functools.partial(_bwd_kernel_transposed, g=g, k=k, C=C, V=V,
+                               E=E, dtype=jnp.dtype(dtype), nt=nt)
+    out_T = pl.pallas_call(
+        kernel,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, tile), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, V), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, V), dtype),
+        scratch_shapes=[pltpu.VMEM((E, V + 2 * HALO), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * V * N * E,
+            bytes_accessed=B * (N * E + V * C) * jnp.dtype(dtype).itemsize,
+            transcendentals=0,
+        ),
+    )(vox[:, None, :], gradT)
+    return jnp.swapaxes(out_T, 1, 2)             # (B, V, C)
+
+
+# Backward implementation selector: 'fold' = the 4-D padded-scratch fold
+# (round 3), 'transposed' = the V-in-lanes fold (round 4). Env-selectable
+# so the two can be A/B'd on an idle chip (bench's frozen-grad field);
+# contended-chip timings are too noisy to decide from (NEXT.md).
+import os as _os
+
+_BWD_IMPL = _os.environ.get("DPDIST_TABLE_BWD", "fold")
+
+
+def table_gather_bwd(vox, grad, *, grid_size: int, k: int, dtype,
+                     interpret: bool):
+    if _BWD_IMPL == "transposed":
+        return _table_gather_bwd_transposed(
+            vox, grad, grid_size=grid_size, k=k, dtype=dtype,
+            interpret=interpret)
+    return _table_gather_bwd_impl(vox, grad, grid_size=grid_size, k=k,
+                                  dtype=dtype, interpret=interpret)
+
+
 def _tg_bwd(grid_size, k, interpret, res, grad):
     proto, vox = res
-    dfv = _table_gather_bwd_impl(vox, grad.astype(proto.dtype),
-                                 grid_size=grid_size, k=k,
-                                 dtype=proto.dtype, interpret=interpret)
+    dfv = table_gather_bwd(vox, grad.astype(proto.dtype),
+                           grid_size=grid_size, k=k,
+                           dtype=proto.dtype, interpret=interpret)
     return (dfv, None)
 
 
@@ -397,9 +521,9 @@ def _tg_x_fwd(fv, queries, grid_size, k, interpret):
 def _tg_x_bwd(grid_size, k, interpret, res, grad):
     proto, vox, q_proto = res
     dq = grad[..., :3].astype(q_proto.dtype)
-    dfv = _table_gather_bwd_impl(vox, grad[..., 3:].astype(proto.dtype),
-                                 grid_size=grid_size, k=k,
-                                 dtype=proto.dtype, interpret=interpret)
+    dfv = table_gather_bwd(vox, grad[..., 3:].astype(proto.dtype),
+                           grid_size=grid_size, k=k,
+                           dtype=proto.dtype, interpret=interpret)
     return (dfv, dq)
 
 

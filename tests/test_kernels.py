@@ -264,3 +264,50 @@ def test_table_mode_large_n_dispatch(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gB1), np.asarray(gB0),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_table_gather_bwd_transposed_parity(rng, monkeypatch):
+    """Round-4 V-in-lanes backward (_table_gather_bwd_transposed) must
+    match the 4-D fold kernel and the XLA oracle, including ragged query
+    tiling and the many-queries-per-voxel fold case; and the env selector
+    must route the custom VJP through it."""
+    import jax
+    import dpdist_tpu.kernels.table_gather_pallas as tg
+
+    for g, k, C, N in ((8, 5, 20, 12), (8, 5, 20, 40), (4, 3, 7, 9)):
+        V = g ** 3
+        E = k ** 3 * C
+        B = 2
+        vox = jnp.asarray(rng.integers(0, V, (B, N)).astype(np.int32))
+        grad = jnp.asarray(rng.normal(size=(B, N, E)).astype(np.float32))
+        want = np.asarray(tg.table_gather_bwd_xla_oracle(
+            vox, grad, grid_size=g, k=k, dtype=jnp.float32))
+        got = np.asarray(tg._table_gather_bwd_transposed(
+            vox, grad, grid_size=g, k=k, dtype=jnp.float32, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        ref = np.asarray(tg._table_gather_bwd_impl(
+            vox, grad, grid_size=g, k=k, dtype=jnp.float32, interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+    # all queries in one voxel (order-sensitive fold)
+    vox1 = jnp.zeros((1, 16), jnp.int32) + 37
+    grad1 = jnp.asarray(rng.normal(size=(1, 16, 5 ** 3 * 20)).astype(np.float32))
+    a = np.asarray(tg._table_gather_bwd_transposed(
+        vox1, grad1, grid_size=8, k=5, dtype=jnp.float32, interpret=True))
+    b = np.asarray(tg.table_gather_bwd_xla_oracle(
+        vox1, grad1, grid_size=8, k=5, dtype=jnp.float32))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    # selector routes the VJP
+    monkeypatch.setattr(tg, "_BWD_IMPL", "transposed")
+    fv = jnp.asarray(rng.normal(size=(1, 512, 20)).astype(np.float32))
+    gout = jnp.asarray(rng.normal(size=(1, 12, 2500)).astype(np.float32))
+    vox2 = jnp.asarray(rng.integers(0, 512, (1, 12)).astype(np.int32))
+    _, vjp = jax.vjp(lambda f: tg.table_gather(f, vox2, 8, 5,
+                                               interpret=True), fv)
+    via_sel = np.asarray(vjp(gout)[0])
+    monkeypatch.setattr(tg, "_BWD_IMPL", "fold")
+    _, vjp2 = jax.vjp(lambda f: tg.table_gather(f, vox2, 8, 5,
+                                                interpret=True), fv)
+    np.testing.assert_allclose(via_sel, np.asarray(vjp2(gout)[0]),
+                               rtol=1e-6, atol=1e-6)
