@@ -13,6 +13,8 @@ import time
 
 import numpy as np
 
+from dpdist_tpu.data.synthetic import stable_seed
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
@@ -48,7 +50,7 @@ def main(argv=None):
                 if os.path.exists(base + "_dist_c_scaled.txt"):
                     continue
                 pts = np.loadtxt(base + ".txt", delimiter=",").astype(np.float32)
-                rng = np.random.default_rng(a.seed + hash(sid) % 10 ** 6)
+                rng = np.random.default_rng(a.seed + stable_seed(sid) % 10 ** 6)
                 surface, near, far = generate_gt_for_points(
                     pts, eps=a.eps, num_neg_points=a.num_neg_points, rng=rng,
                     scheme=a.scheme,

@@ -14,6 +14,8 @@ import os
 
 import numpy as np
 
+from dpdist_tpu.data.synthetic import stable_seed
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
@@ -60,7 +62,7 @@ def main(argv=None):
     for split in ("train", "test", "eval"):
         write_templates_h5(os.path.join(a.out_dir, f"templates_{split}.h5"),
                            templates, names)
-        rng = np.random.default_rng(a.seed + hash(split) % 1000)
+        rng = np.random.default_rng(a.seed + stable_seed(split) % 1000)
         poses = generate_poses(a.num_poses, max_rotate_deg=a.max_rotate_deg,
                                rng=rng)
         write_pose_csv(

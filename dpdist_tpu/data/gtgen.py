@@ -28,6 +28,8 @@ import os
 from functools import partial
 from typing import Sequence
 
+from dpdist_tpu.data.synthetic import stable_seed
+
 import numpy as np
 
 import jax
@@ -212,7 +214,7 @@ def generate_synthetic_dataset(root: str, *, families: Sequence[str] = ("chair",
         os.makedirs(os.path.join(root, fam), exist_ok=True)
         for i in range(n_train + n_test):
             sid = f"{fam}_{i + 1:04d}"
-            rng = np.random.default_rng(seed + i * 1000 + hash(fam) % 1000)
+            rng = np.random.default_rng(seed + i * 1000 + stable_seed(fam) % 1000)
             dense = synthetic_surface(fam, seed=seed + i, n_points=n_surface)
             surface, near, far = generate_gt_for_points(
                 dense, eps=eps, num_neg_points=num_neg_points, rng=rng,

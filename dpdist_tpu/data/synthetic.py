@@ -153,13 +153,23 @@ SHAPE_FAMILIES = ("sphere", "box", "cylinder", "torus", "chair", "cone",
                   "capsule")
 
 
+def stable_seed(*parts) -> int:
+    """Deterministic seed from strings/ints. Python's built-in hash() of a
+    str is salted per process (PYTHONHASHSEED), which silently made every
+    process generate different synthetic geometry — eval templates were
+    only reproducible within one process. crc32 is stable everywhere."""
+    import zlib
+
+    return zlib.crc32("|".join(str(p) for p in parts).encode()) % (2 ** 31)
+
+
 def synthetic_surface(family: str, seed: int, n_points: int = 10000) -> np.ndarray:
     """Sample a dense surface of the given family, unit-scaled.
 
     Deterministic in (family, seed); per-seed random shape parameters give
     intra-class variation like different ModelNet instances.
     """
-    rng = np.random.default_rng(hash((family, seed)) % (2 ** 31))
+    rng = np.random.default_rng(stable_seed(family, seed))
     # oversample: some samplers reject
     m = int(n_points * 1.5) + 64
     if family == "sphere":

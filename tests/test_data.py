@@ -211,3 +211,34 @@ def test_rotation_preserves_norms(rng):
     np.testing.assert_allclose(
         np.linalg.norm(out, axis=2), np.linalg.norm(batch, axis=2), atol=1e-4
     )
+
+
+def test_synthetic_surface_stable_across_processes():
+    """Template geometry must not depend on Python's per-process hash salt.
+
+    Regression: synthetic_surface seeded its RNG with hash((family, seed)),
+    so every process (PYTHONHASHSEED salt) generated different templates —
+    the fixed-pose eval protocol was only reproducible within one process.
+    """
+    import hashlib
+    import os
+    import subprocess
+    import sys
+
+    prog = ("import numpy as np, hashlib;"
+            "from dpdist_tpu.data.synthetic import synthetic_surface;"
+            "p = synthetic_surface('chair', seed=7, n_points=256);"
+            "print(hashlib.sha256(p.tobytes()).hexdigest())")
+    digests = []
+    for salt in ("1", "2"):
+        env = dict(os.environ, PYTHONHASHSEED=salt, JAX_PLATFORMS="cpu")
+        out = subprocess.run([sys.executable, "-c", prog], check=True,
+                             capture_output=True, text=True, env=env)
+        digests.append(out.stdout.strip().splitlines()[-1])
+    assert digests[0] == digests[1]
+    # and the in-process value matches the subprocess value
+    from dpdist_tpu.data.synthetic import synthetic_surface
+
+    here = hashlib.sha256(
+        synthetic_surface("chair", seed=7, n_points=256).tobytes()).hexdigest()
+    assert here == digests[0]
