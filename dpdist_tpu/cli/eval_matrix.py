@@ -44,6 +44,9 @@ def main(argv=None):
                         "uses the committed 5,070-pose set and, unless "
                         "--num_cases is given, evaluates ALL of them")
     p.add_argument("--out_dir", default="runs/matrix_eval")
+    p.add_argument("--skip_existing", action="store_true",
+                   help="reuse per-cell JSONs already in out_dir "
+                        "(resume a crashed matrix)")
     a = p.parse_args(argv)
 
     import jax
@@ -84,6 +87,26 @@ def main(argv=None):
         params, state, _ = restore_params_maybe_state(base, tp, ts)
 
         for cond in a.conditions:
+            def fmt(tag, r, _n=name, _c=cond):
+                return (f"{_n:10s} {_c:6s} {tag:10s} "
+                        f"rot {r['rot_err_mean_deg']:7.2f} "
+                        f"trans {r['trans_err_mean']:.4f} "
+                        f"acc2.5 {r['acc_rot2.5_trans0.05']:.3f} "
+                        f"acc5 {r['acc_rot5.0_trans0.05']:.3f} "
+                        f"acc10 {r['acc_rot10.0_trans0.1']:.3f} "
+                        f"acc20 {r['acc_rot20.0_trans0.2']:.3f}")
+
+            cell_json = os.path.join(a.out_dir, f"{name}_{cond}.json")
+            if a.skip_existing and os.path.exists(cell_json):
+                # resumability (a full-disk crash mid-matrix should not
+                # cost a re-eval of every finished cell)
+                rep = json.load(open(cell_json))
+                for tag, r in [("all", rep)] + list(
+                        rep.get("per_family", {}).items()):
+                    row = fmt(tag, r)
+                    rows.append(row)
+                    print(row + "  (cached)", flush=True)
+                continue
             ds = RegistrationDataset(
                 families=tuple(a.families), n_templates=a.n_templates,
                 num_point=a.num_point or cfg.num_point,
@@ -102,15 +125,6 @@ def main(argv=None):
             with open(os.path.join(a.out_dir, f"{name}_{cond}.json"),
                       "w") as f:
                 json.dump(rep, f, indent=2)
-
-            def fmt(tag, r):
-                return (f"{name:10s} {cond:6s} {tag:10s} "
-                        f"rot {r['rot_err_mean_deg']:7.2f} "
-                        f"trans {r['trans_err_mean']:.4f} "
-                        f"acc2.5 {r['acc_rot2.5_trans0.05']:.3f} "
-                        f"acc5 {r['acc_rot5.0_trans0.05']:.3f} "
-                        f"acc10 {r['acc_rot10.0_trans0.1']:.3f} "
-                        f"acc20 {r['acc_rot20.0_trans0.2']:.3f}")
 
             row = fmt("all", rep)
             rows.append(row)

@@ -225,7 +225,7 @@ def _transposed_kernel(vox_ref, gradT_ref, out_ref, pad_ref, *, nt):
         # lane iota -> voxel components of the OUTPUT index v
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
         vx, vy, vz = lane // (g * g), (lane // g) % g, lane % g
-        acc = jnp.zeros((C, V), jnp.float32)
+        out_ref[0] = jnp.zeros((C, V), jnp.float32)
         o = 0
         for di in range(k):
             for dj in range(k):
@@ -240,9 +240,8 @@ def _transposed_kernel(vox_ref, gradT_ref, out_ref, pad_ref, *, nt):
                          & (vz + sz >= 0) & (vz + sz < g))
                     slab = pad_ref[o * C:(o + 1) * C,
                                    HALO + off:HALO + off + V]
-                    acc = acc + jnp.where(m, slab, 0.0)
+                    out_ref[0] = out_ref[0] + jnp.where(m, slab, 0.0)
                     o += 1
-        out_ref[0] = acc
 
 
 def run_transposed(vox, gradT, interpret=False):

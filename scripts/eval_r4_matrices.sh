@@ -28,7 +28,7 @@ if [ "$GROUP" = A ] || [ "$GROUP" = all ]; then
     b="runs/r4/$cell/pcrnet_ckpt_best"
     [ -f "$b.json" ] && CK="$CK $cell=$b"
   done
-  python -m dpdist_tpu.cli.eval_matrix $CANON --ckpts $CK \
+  python -m dpdist_tpu.cli.eval_matrix --skip_existing $CANON --ckpts $CK \
     --conditions clean noise occl --out_dir runs/eval_r4_seeds
   cp runs/eval_r4_seeds/summary.txt results/canonical_fixed_seeds/
   cp runs/eval_r4_seeds/*.json results/canonical_fixed_seeds/ 2>/dev/null || true
@@ -45,7 +45,7 @@ if [ "$GROUP" = B ] || [ "$GROUP" = all ]; then
     [ -f "$b.json" ] && CK="$CK $cell=$b"
     [ -f "$f.json" ] && CK="$CK ${cell}_fin=$f"
   done
-  python -m dpdist_tpu.cli.eval_matrix $MF --ckpts $CK \
+  python -m dpdist_tpu.cli.eval_matrix --skip_existing $MF --ckpts $CK \
     --conditions clean noise --out_dir runs/eval_r4_mf
   cp runs/eval_r4_mf/summary.txt results/multifam_r4/
   cp runs/eval_r4_mf/*.json results/multifam_r4/ 2>/dev/null || true
@@ -62,7 +62,7 @@ if [ "$GROUP" = C ] || [ "$GROUP" = all ]; then
       mf_chamfer_tsn=runs/multifam_r3/pcr_chamfer_tsn/pcrnet_ckpt_best"
   [ -f runs/r4/mf_ts_s1_dpdist/pcrnet_ckpt_best.json ] && \
     CK="$CK mf_ts_s1_dpdist=runs/r4/mf_ts_s1_dpdist/pcrnet_ckpt_best"
-  python -m dpdist_tpu.cli.eval_matrix $MF --iterations 50 --ckpts $CK \
+  python -m dpdist_tpu.cli.eval_matrix --skip_existing $MF --iterations 50 --ckpts $CK \
     --conditions clean --out_dir runs/eval50_r4
   cp runs/eval50_r4/summary.txt results/eval50_r4/
   cp runs/eval50_r4/*.json results/eval50_r4/ 2>/dev/null || true
