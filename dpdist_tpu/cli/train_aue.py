@@ -43,6 +43,9 @@ def main(argv=None):
     p.add_argument("--log_dir", default="runs/aue")
     p.add_argument("--max_epoch_aue", type=int, default=100)
     p.add_argument("--resume", default=None, help="AUE checkpoint base path")
+    p.add_argument("--start_epoch", type=int, default=0,
+                   help="with --resume: continue epoch numbering from here "
+                        "(total budget stays --max_epoch_aue)")
     a = p.parse_args(argv)
 
     from dpdist_tpu.configs import AUEConfig
@@ -64,7 +67,8 @@ def main(argv=None):
     test_ds = SurfacePairDataset(a.data_root, batch_size=tcfg.batch_size,
                                  npoints=a.num_point * 2, split="test",
                                  class_choice=a.category, seed=a.seed)
-    best = trainer.fit(ds, test_ds, max_epoch=a.max_epoch_aue)
+    best = trainer.fit(ds, test_ds, max_epoch=a.max_epoch_aue,
+                       start_epoch=a.start_epoch)
     print(f"best checkpoint: {best}")
 
 

@@ -157,7 +157,8 @@ class AUETrainer:
         return dp_m, ch_m
 
     def fit(self, train_dataset, test_dataset=None, *, max_epoch: int,
-            eval_every: int = 10, snapshot_every: int = 0):
+            eval_every: int = 10, snapshot_every: int = 0,
+            start_epoch: int = 0):
         """Epoch loop with best-checkpoint keeping on the held-out loss of
         the TRAINED objective (dpdist for 'ours', chamfer for 'chamfer').
 
@@ -167,7 +168,9 @@ class AUETrainer:
         """
         best = float("inf")
         best_path = None
-        for epoch in range(max_epoch):
+        # start_epoch > 0 resumes a crashed run with coherent epoch
+        # numbering (total budget = max_epoch regardless of the restart).
+        for epoch in range(start_epoch, max_epoch):
             self.train_epoch(train_dataset, epoch,
                              snapshot_every=snapshot_every)
             if test_dataset is not None and epoch % eval_every == 0:
