@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""50-iteration no-stop stability analysis (VERDICT r3 #3).
+
+The reference's canonical evaluator runs refinement for 50 iterations
+with no stopping criterion (results_itrPCRNet_no_stop.py:331-335). The
+round-3 multifam flagship degraded under it (translation drift of a
+period-2 flip cycle). This script compares every group-C candidate's
+chair-slice metrics at 50 iterations against the SAME checkpoint's
+8-iteration fixed-pose eval, and applies the done-criterion:
+acc@(2.5deg, 0.05) at 50 iters >= its value at 8 iters.
+
+Emits results/eval50_r4/comparison.json and a markdown table.
+"""
+
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# model key in runs/eval50_r4 -> its 8-iteration eval JSON
+PAIRS = {
+    "mf1200clip": "runs/eval_r4_mf/mf1200clip_clean.json",
+    "mf_dpdist_tsn": "results/multifam_r3/mf_dpdist_tsn_clean.json",
+    "mf_chamfer_tsn": "results/multifam_r3/mf_chamfer_tsn_clean.json",
+    "mf_ts_s1_dpdist": "runs/eval_r4_mf/mf_ts_s1_dpdist_clean.json",
+    # the round-3 flagship itself, for the before/after row
+    "mf_dpdist_ts": "results/multifam_r3/mf_dpdist_ts_clean.json",
+}
+
+
+def chair(d):
+    pf = (d or {}).get("per_family") or {}
+    return pf.get("chair") or d
+
+
+def load(rel):
+    p = os.path.join(ROOT, rel)
+    return json.load(open(p)) if os.path.exists(p) else None
+
+
+def main():
+    out = {}
+    rows = []
+    for key, p8 in PAIRS.items():
+        d50 = load(f"runs/eval50_r4/{key}_clean.json") or \
+            load(f"runs/eval50_r3/{key}.json")
+        d8 = load(p8)
+        if d50 is None or d8 is None:
+            continue
+        c50, c8 = chair(d50), chair(d8)
+        rec = {
+            "rot8": c8["rot_err_mean_deg"], "rot50": c50["rot_err_mean_deg"],
+            "te8": c8["trans_err_mean"], "te50": c50["trans_err_mean"],
+            "acc8": c8["acc_rot2.5_trans0.05"],
+            "acc50": c50["acc_rot2.5_trans0.05"],
+        }
+        rec["stable"] = bool(rec["acc50"] >= rec["acc8"] - 1e-9)
+        out[key] = rec
+        rows.append(
+            f"| {key} | {rec['rot8']:.2f} -> {rec['rot50']:.2f} "
+            f"| {rec['te8']:.4f} -> {rec['te50']:.4f} "
+            f"| {100*rec['acc8']:.1f}% -> {100*rec['acc50']:.1f}% "
+            f"| {'PASS' if rec['stable'] else 'FAIL'} |")
+
+    print("| Model (chair slice) | rot err 8->50 | trans err 8->50 "
+          "| acc@2.5/0.05 8->50 | no-stop stable |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(r)
+
+    dst = os.path.join(ROOT, "results", "eval50_r4", "comparison.json")
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    json.dump(out, open(dst, "w"), indent=1)
+    print(f"\nwrote {dst}")
+
+
+if __name__ == "__main__":
+    main()
