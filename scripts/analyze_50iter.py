@@ -25,6 +25,12 @@ PAIRS = {
     "mf_ts_s1_dpdist": "runs/eval_r4_mf/mf_ts_s1_dpdist_clean.json",
     # the round-3 flagship itself, for the before/after row
     "mf_dpdist_ts": "results/multifam_r3/mf_dpdist_ts_clean.json",
+    # round-4 trainings (groups D/E): noise+clip flagship candidates and
+    # the clipped-recipe seed replicas
+    "mf_tsn1200clip_dpdist": "runs/eval_r4_mf/mf_tsn1200clip_dpdist_clean.json",
+    "mf_tsn1200clip_chamfer": "runs/eval_r4_mf/mf_tsn1200clip_chamfer_clean.json",
+    "mf_ts1200clip_s1_dpdist": "runs/eval_r4_mf/mf_ts1200clip_s1_dpdist_clean.json",
+    "mf_ts1200clip_s2_dpdist": "runs/eval_r4_mf/mf_ts1200clip_s2_dpdist_clean.json",
 }
 
 

@@ -68,3 +68,37 @@ if [ "$GROUP" = C ] || [ "$GROUP" = all ]; then
   cp runs/eval50_r4/*.json results/eval50_r4/ 2>/dev/null || true
 fi
 echo "r4 eval battery ($GROUP) done"
+
+# D) 8-iter fixed-pose on the round-4 trainings: the noise+clip flagship
+#    candidate pair (matched dpdist/chamfer) and the clipped-recipe seed
+#    replicas. 'best' and 'final' both evaluated — final tests stability.
+if [ "$GROUP" = D ]; then
+  CK=""
+  for cell in mf_tsn1200clip_dpdist mf_tsn1200clip_chamfer \
+              mf_ts1200clip_s1_dpdist mf_ts1200clip_s2_dpdist; do
+    b="runs/r4/$cell/pcrnet_ckpt_best"; f="runs/r4/$cell/pcrnet_ckpt_final"
+    [ -f "$b.json" ] && CK="$CK $cell=$b"
+    [ -f "$f.json" ] && CK="$CK ${cell}_fin=$f"
+  done
+  [ -z "$CK" ] && { echo "group D: no ckpts yet"; exit 0; }
+  python -m dpdist_tpu.cli.eval_matrix --skip_existing $MF --ckpts $CK \
+    --conditions clean noise --out_dir runs/eval_r4_mf
+  cp runs/eval_r4_mf/summary.txt results/multifam_r4/
+  cp runs/eval_r4_mf/*.json results/multifam_r4/ 2>/dev/null || true
+fi
+
+# E) 50-iteration no-stop on the round-4 trainings (done-criterion:
+#    acc@(2.5deg,0.05) at 50 iters >= at 8 iters for the flagship).
+if [ "$GROUP" = E ]; then
+  CK=""
+  for cell in mf_tsn1200clip_dpdist mf_tsn1200clip_chamfer \
+              mf_ts1200clip_s1_dpdist mf_ts1200clip_s2_dpdist; do
+    b="runs/r4/$cell/pcrnet_ckpt_best"
+    [ -f "$b.json" ] && CK="$CK $cell=$b"
+  done
+  [ -z "$CK" ] && { echo "group E: no ckpts yet"; exit 0; }
+  python -m dpdist_tpu.cli.eval_matrix --skip_existing $MF --iterations 50 --ckpts $CK \
+    --conditions clean --out_dir runs/eval50_r4
+  cp runs/eval50_r4/summary.txt results/eval50_r4/
+  cp runs/eval50_r4/*.json results/eval50_r4/ 2>/dev/null || true
+fi
