@@ -296,26 +296,107 @@ def _bwd_kernel_transposed(vox_ref, gradT_ref, out_ref, pad_ref, *, g: int,
 
     @pl.when(t_idx == nt - 1)
     def _():
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
-        vx, vy, vz = lane // (g * g), (lane // g) % g, lane % g
-        out_ref[0] = jnp.zeros((C, V), dtype)
-        o = 0
-        for di in range(k):
-            for dj in range(k):
-                for dl in range(k):
-                    # adjoint of table[v, o] = vol[v + d - kh]:
-                    # dvol[v] += tgrad_o[v + kh - d], valid only where
-                    # every component of v + kh - d stays in-grid
-                    sx, sy, sz = kh - di, kh - dj, kh - dl
-                    off = sx * g * g + sy * g + sz
-                    m = ((vx + sx >= 0) & (vx + sx < g)
-                         & (vy + sy >= 0) & (vy + sy < g)
-                         & (vz + sz >= 0) & (vz + sz < g))
-                    slab = pad_ref[o * C:(o + 1) * C,
-                                   HALO + off:HALO + off + V]
-                    out_ref[0] = out_ref[0] + jnp.where(
-                        m, slab, 0.0).astype(dtype)
-                    o += 1
+        _lanes_fold(out_ref, pad_ref, g=g, k=k, C=C, V=V, HALO=HALO,
+                    dtype=dtype)
+
+
+def _lanes_fold(out_ref, pad_ref, *, g, k, C, V, HALO, dtype):
+    """The V-in-lanes fold: k^3 lane-shifted masked adds of dense (C, V)
+    slabs read from the lane-padded (E, V + 2*HALO) scratch."""
+    kh = k // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+    vx, vy, vz = lane // (g * g), (lane // g) % g, lane % g
+    out_ref[0] = jnp.zeros((C, V), dtype)
+    o = 0
+    for di in range(k):
+        for dj in range(k):
+            for dl in range(k):
+                # adjoint of table[v, o] = vol[v + d - kh]:
+                # dvol[v] += tgrad_o[v + kh - d], valid only where
+                # every component of v + kh - d stays in-grid
+                sx, sy, sz = kh - di, kh - dj, kh - dl
+                off = sx * g * g + sy * g + sz
+                m = ((vx + sx >= 0) & (vx + sx < g)
+                     & (vy + sy >= 0) & (vy + sy < g)
+                     & (vz + sz >= 0) & (vz + sz < g))
+                slab = pad_ref[o * C:(o + 1) * C,
+                               HALO + off:HALO + off + V]
+                out_ref[0] = out_ref[0] + jnp.where(
+                    m, slab, 0.0).astype(dtype)
+                o += 1
+
+
+def _bwd_kernel_transposed_ng(vox_ref, gradT_ref, out_ref, pad_ref, *,
+                              g: int, k: int, C: int, V: int, E: int,
+                              dtype):
+    """No-grid variant of _bwd_kernel_transposed: at the canonical N=64
+    the query axis fits one tile anyway (nt == 1), so the whole backward
+    is a single block per batch item — no query grid dimension and no
+    pl.when. Exists to bisect/sidestep the Mosaic compile crash that the
+    gridded kernel hits on TPU (scripts/probe_mosaic_v3.py probe d vs c:
+    identical ops, the only difference is grid/when structure)."""
+    kh = k // 2
+    HALO = kh * (g * g + g + 1)
+    vox = vox_ref[0, 0]                          # (Np,)
+    gradT = gradT_ref[0]                         # (E, Np)
+    T = vox.shape[0]
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (T, V), 1)
+    onehot = (vox[:, None] == iota_v).astype(dtype)          # (Np, V)
+    part = jnp.dot(gradT, onehot, preferred_element_type=jnp.float32)
+    pad_ref[:, :HALO] = jnp.zeros((E, HALO), jnp.float32)
+    pad_ref[:, HALO + V:] = jnp.zeros((E, HALO), jnp.float32)
+    pad_ref[:, HALO:HALO + V] = part
+    _lanes_fold(out_ref, pad_ref, g=g, k=k, C=C, V=V, HALO=HALO,
+                dtype=dtype)
+
+
+def _table_gather_bwd_transposed_ng(vox, grad, *, grid_size: int, k: int,
+                                    dtype, interpret: bool):
+    """Single-block transposed backward (no query grid): valid when the
+    padded query count fits one VMEM tile (N <= 128 — always true at the
+    canonical np=64). Falls back to the gridded transposed kernel above
+    that size."""
+    B, N = vox.shape
+    if N > 128:
+        return _table_gather_bwd_transposed(
+            vox, grad, grid_size=grid_size, k=k, dtype=dtype,
+            interpret=interpret)
+    g = grid_size
+    V = g ** 3
+    E = grad.shape[-1]
+    C = E // k ** 3
+    kh = k // 2
+    HALO = kh * (g * g + g + 1)
+    Np = -(-N // 8) * 8
+    if Np != N:
+        vox = jnp.concatenate(
+            [vox, jnp.zeros((B, Np - N), vox.dtype)], axis=1)
+        grad = jnp.concatenate(
+            [grad, jnp.zeros((B, Np - N, E), grad.dtype)], axis=1)
+    gradT = jnp.swapaxes(grad, 1, 2)             # (B, E, Np)
+    kernel = functools.partial(_bwd_kernel_transposed_ng, g=g, k=k, C=C,
+                               V=V, E=E, dtype=jnp.dtype(dtype))
+    out_T = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, Np), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, Np), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, V), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, V), dtype),
+        scratch_shapes=[pltpu.VMEM((E, V + 2 * HALO), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * V * N * E,
+            bytes_accessed=B * (N * E + V * C) * jnp.dtype(dtype).itemsize,
+            transcendentals=0,
+        ),
+    )(vox[:, None, :], gradT)
+    return jnp.swapaxes(out_T, 1, 2)             # (B, V, C)
 
 
 def _table_gather_bwd_transposed(vox, grad, *, grid_size: int, k: int,
@@ -377,6 +458,10 @@ def table_gather_bwd(vox, grad, *, grid_size: int, k: int, dtype,
                      interpret: bool):
     if _BWD_IMPL == "transposed":
         return _table_gather_bwd_transposed(
+            vox, grad, grid_size=grid_size, k=k, dtype=dtype,
+            interpret=interpret)
+    if _BWD_IMPL == "transposed_ng":
+        return _table_gather_bwd_transposed_ng(
             vox, grad, grid_size=grid_size, k=k, dtype=dtype,
             interpret=interpret)
     return _table_gather_bwd_impl(vox, grad, grid_size=grid_size, k=k,

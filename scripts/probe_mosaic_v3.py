@@ -153,12 +153,31 @@ def main():
         scratch_shapes=[pltpu.VMEM((E, V + 2 * HALO), jnp.float32)],
     )(vox[None, :], gT))
 
-    from dpdist_tpu.kernels.table_gather_pallas import \
-        _table_gather_bwd_transposed
+    from dpdist_tpu.kernels.table_gather_pallas import (
+        _table_gather_bwd_impl, _table_gather_bwd_transposed,
+        _table_gather_bwd_transposed_ng)
     voxB = jnp.asarray(rng.integers(0, V, (1, T)), jnp.int32)
     gradB = jnp.asarray(rng.standard_normal((1, T, E)), DT)
     run("d_full_bwd_transposed", lambda: _table_gather_bwd_transposed(
         voxB, gradB, grid_size=G, k=K, dtype=DT, interpret=INTERP))
+
+    # e: the single-block no-grid variant at the canonical serving shape
+    # (N=64 -> one query tile) — if grid/when structure is the crash
+    # trigger, this must compile where d does not. Checked numerically
+    # against the shipping 4-D fold backward.
+    voxS = jnp.asarray(rng.integers(0, V, (1, 64)), jnp.int32)
+    gradS = jnp.asarray(rng.standard_normal((1, 64, E)), DT)
+
+    def probe_e():
+        got = _table_gather_bwd_transposed_ng(
+            voxS, gradS, grid_size=G, k=K, dtype=DT, interpret=INTERP)
+        ref = _table_gather_bwd_impl(
+            voxS, gradS, grid_size=G, k=K, dtype=DT, interpret=INTERP)
+        err = float(jnp.max(jnp.abs(got - ref)))
+        print(f"  e maxdiff vs 4-D fold: {err:.2e}", flush=True)
+        assert err < 1e-4, f"ng parity FAILED maxdiff={err}"
+        return got
+    run("e_full_bwd_transposed_ng", probe_e)
 
 
 if __name__ == "__main__":

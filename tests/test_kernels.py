@@ -288,6 +288,10 @@ def test_table_gather_bwd_transposed_parity(rng, monkeypatch):
         ref = np.asarray(tg._table_gather_bwd_impl(
             vox, grad, grid_size=g, k=k, dtype=jnp.float32, interpret=True))
         np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+        # the no-grid single-block variant must match the gridded one
+        ng = np.asarray(tg._table_gather_bwd_transposed_ng(
+            vox, grad, grid_size=g, k=k, dtype=jnp.float32, interpret=True))
+        np.testing.assert_allclose(ng, want, rtol=1e-5, atol=1e-5)
 
     # all queries in one voxel (order-sensitive fold)
     vox1 = jnp.zeros((1, 16), jnp.int32) + 37
