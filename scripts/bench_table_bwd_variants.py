@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dpdist_tpu.kernels.table_gather_pallas import (
     _table_gather_bwd_impl,
+    _table_gather_bwd_transposed_ng,
     table_gather_bwd_xla_oracle,
 )
 
@@ -310,6 +311,12 @@ def main():
         "bwd_transposed": jax.jit(lambda: run_transposed(vox, gradT)),
         "bwd_transposed_incl_T": jax.jit(
             lambda: run_transposed(vox, jnp.swapaxes(grad, 1, 2))),
+        # library single-block no-grid variant (N<=128 path; includes the
+        # in-jit transpose both ways, i.e. what training would pay)
+        "bwd_transposed_ng": jax.jit(
+            lambda: _table_gather_bwd_transposed_ng(
+                vox, grad, grid_size=g, k=k, dtype=jnp.float32,
+                interpret=False)),
         "bwd_xla": lambda: xla(vox, grad),
     }
     # Excluded candidates (for the record):
@@ -334,7 +341,12 @@ def main():
 
     # numeric checks vs the shipped fold
     b = np.asarray(ship(vox, grad))
-    for nm, fn in (("transposed", lambda: run_transposed(vox, gradT)),):
+    for nm, fn in (
+            ("transposed", lambda: run_transposed(vox, gradT)),
+            ("transposed_ng", lambda: _table_gather_bwd_transposed_ng(
+                vox, grad, grid_size=g, k=k, dtype=jnp.float32,
+                interpret=False)),
+    ):
         try:
             a = np.asarray(fn())
             print(json.dumps(
