@@ -21,9 +21,36 @@ and the host caveats (single CPU core).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+_PROBE_SRC = """
+import jax, jax.numpy as jnp, numpy as np
+np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+"""
+
+
+def _wait_for_relay(window_s=1800, probe_timeout=90, sleep_s=120):
+    """The axon TPU relay can be down (jax.devices() then hangs forever,
+    which would hang the driver's bench capture). Probe it with bounded
+    subprocesses; return True once a tiny dispatch completes end-to-end,
+    False if the window expires."""
+    deadline = time.time() + window_s
+    while True:
+        try:
+            subprocess.run([sys.executable, "-c", _PROBE_SRC], check=True,
+                           timeout=probe_timeout,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if time.time() >= deadline:
+                return False
+            time.sleep(sleep_s)
 
 # scripts/measure_baseline.py on this host (1-core AVX512 CPU, OpenBLAS):
 # {"pairs_per_sec": 12.79, "ms_per_step": 1250.61, "batch": 16, "iters": 10}
@@ -45,6 +72,22 @@ def _time_pairs_per_sec(fn, batch, iters=30):
 
 
 def main():
+    if os.environ.get("DPDIST_PLATFORM", "").lower() not in ("cpu",):
+        if not _wait_for_relay():
+            # Emit an explicit, machine-readable failure rather than
+            # hanging: the chip is unreachable, not slow. Last healthy
+            # capture: BENCH_r03.json.
+            print(json.dumps({
+                "metric": "dpdist_pairs_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "pairs/s",
+                "vs_baseline": 0.0,
+                "error": ("TPU relay unreachable for 30 min (probe "
+                          "dispatch never completed); not a model "
+                          "regression - see BENCH_r03.json for the last "
+                          "healthy capture"),
+            }))
+            return
     import jax
     import jax.numpy as jnp
     from dpdist_tpu.configs import DPDistConfig, TrainConfig
