@@ -293,6 +293,17 @@ def test_table_gather_bwd_transposed_parity(rng, monkeypatch):
             vox, grad, grid_size=g, k=k, dtype=jnp.float32, interpret=True))
         np.testing.assert_allclose(ng, want, rtol=1e-5, atol=1e-5)
 
+    # N > 128 routes _table_gather_bwd_transposed_ng to the gridded kernel
+    g, k, C, N = 4, 3, 7, 130
+    V, E = g ** 3, k ** 3 * C
+    vox = jnp.asarray(rng.integers(0, V, (1, N)).astype(np.int32))
+    grad = jnp.asarray(rng.normal(size=(1, N, E)).astype(np.float32))
+    big = np.asarray(tg._table_gather_bwd_transposed_ng(
+        vox, grad, grid_size=g, k=k, dtype=jnp.float32, interpret=True))
+    want = np.asarray(tg.table_gather_bwd_xla_oracle(
+        vox, grad, grid_size=g, k=k, dtype=jnp.float32))
+    np.testing.assert_allclose(big, want, rtol=1e-5, atol=1e-5)
+
     # all queries in one voxel (order-sensitive fold)
     vox1 = jnp.zeros((1, 16), jnp.int32) + 37
     grad1 = jnp.asarray(rng.normal(size=(1, 16, 5 ** 3 * 20)).astype(np.float32))
