@@ -387,3 +387,48 @@ def test_fixed_pose_protocol_and_per_family(tmp_path):
     assert "per_family" in rep
     assert set(rep["per_family"]) == {"chair", "sphere"}
     assert rep["per_family"]["chair"]["num_cases"] == 4
+
+
+def test_evaluate_registration_dataset_without_return_info():
+    """Datasets exposing only sample_batch(b) (no return_info kwarg) must
+    work: the evaluator probes the signature ONCE up front instead of
+    catching TypeError per batch (which would swallow genuine TypeErrors
+    raised inside a custom dataset — ADVICE r3)."""
+
+    class Minimal:
+        def __init__(self):
+            self._ds = RegistrationDataset(n_templates=2, num_point=64,
+                                           seed=0)
+
+        def sample_batch(self, b):  # deliberately no **kwargs
+            t, s, gt = self._ds.sample_batch(b)
+            return t, s, gt
+
+    params, _ = init_pcrnet(jax.random.PRNGKey(0), PCFG)
+    rep = evaluate_registration(params, PCFG, Minimal(), num_cases=4,
+                                iterations=2, batch_size=4)
+    assert rep["num_cases"] == 4
+    assert "per_family" not in rep  # no info => no family slices
+
+
+def test_fit_select_family_missing_never_uses_pooled(tmp_path):
+    """With select_family set but absent from the eval report, fit() must
+    SKIP the best-ckpt comparison (never substitute the symmetry-diluted
+    pooled metric — ADVICE r3): no 'best' checkpoint is written and the
+    final one is returned."""
+    import os
+
+    ds = RegistrationDataset(families=("chair",), n_templates=2,
+                             num_point=64, max_rotate_deg=10, seed=0)
+    tcfg = TrainConfig(batch_size=2, learning_rate=1e-3, log_every=1000)
+    tr = PCRNetTrainer(PCFG, tcfg, loss_type="chamfer",
+                       run_dir=str(tmp_path / "selfam"))
+    out = tr.fit(ds, epochs=1, batches_per_epoch=1, eval_dataset=ds,
+                 eval_every=1, eval_cases=2, select_family="sphere")
+    assert out.endswith("pcrnet_ckpt_final")
+    assert not os.path.exists(os.path.join(str(tmp_path / "selfam"),
+                                           "pcrnet_ckpt_best.npz"))
+    # and with a PRESENT family the best ckpt is written
+    out2 = tr.fit(ds, epochs=1, batches_per_epoch=1, eval_dataset=ds,
+                  eval_every=1, eval_cases=2, select_family="chair")
+    assert out2.endswith("pcrnet_ckpt_best")
