@@ -1,0 +1,148 @@
+"""Serving export: freeze the learned distance into a portable artifact.
+
+The reference ships a trained DPDist to downstream consumers as a TF1
+meta-graph that each consumer re-splices into its own session
+(`tf.train.import_meta_graph(... 'model.ckpt.meta', input_map=...)`,
+iterative_PCRNet_ours.py:229-231, train_multi_gpu_pc_compare_dist.py:427-433).
+The TPU-native analog is `jax.export`: trace the frozen distance once,
+serialize the StableHLO (weights baked in as constants), and reload it in
+any process with a compatible JAX — no dpdist_tpu package, checkpoint
+files, or Python model code needed at the consumer.
+
+Two functions are exportable:
+
+- the frozen distance d(pcA, pcB) -> (B,) per-pair scores
+  (`dpdist_distance` semantics, dpdist_util.get_loss:976-979), and
+- its value-and-gradient w.r.t. the SOURCE cloud — the downstream
+  training hot path (gradients flow through the frozen net into the
+  moving cloud only, iterative_PCRNet_ours.py:255-257 semantics), so a
+  consumer can run registration/optimization against the artifact
+  without ever tracing the model.
+
+Portability: by default the export forces the pure-XLA compute path
+(`fused_gather="off"`, 3DmFV impl "xla") so the artifact contains no
+TPU-specific Mosaic custom calls and runs on any platform in
+`platforms`. Pass ``portable=False`` to keep the Pallas kernels for a
+TPU-only artifact.
+
+Batch polymorphism: with ``batch=None`` the artifact is exported with a
+symbolic batch dimension and serves any batch size; pass an int to pin
+it (slightly better compile time at the consumer).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from dpdist_tpu.configs import DPDistConfig
+from dpdist_tpu.losses.dpdist_loss import make_frozen_dpdist_loss
+from dpdist_tpu.models import dpdist_distance
+
+
+class _portable_trace:
+    """Trace-time context: force the XLA 3DmFV path (the Pallas dispatch
+    reads DPDIST_THREEDMFV_IMPL at trace time, ops/threedmfv.py:102)."""
+
+    def __enter__(self):
+        self._old = os.environ.get("DPDIST_THREEDMFV_IMPL")
+        os.environ["DPDIST_THREEDMFV_IMPL"] = "xla"
+
+    def __exit__(self, *exc):
+        if self._old is None:
+            os.environ.pop("DPDIST_THREEDMFV_IMPL", None)
+        else:
+            os.environ["DPDIST_THREEDMFV_IMPL"] = self._old
+        return False
+
+
+def _args_specs(num_point: int, batch: Optional[int]):
+    if batch is None:
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = batch
+    spec = jax.ShapeDtypeStruct((b, num_point, 3), jnp.float32)
+    return spec, spec
+
+
+def export_frozen_distance(params, state, cfg: DPDistConfig, *,
+                           num_point: Optional[int] = None,
+                           batch: Optional[int] = None,
+                           with_grad: bool = False,
+                           out_of_grid_penalty: float = 1.0,
+                           portable: bool = True,
+                           platforms: Optional[Sequence[str]] = None):
+    """Export the frozen distance (or its src-gradient) as `jax.export.Exported`.
+
+    Args:
+      num_point: points per cloud in the served signature (defaults to
+        cfg.num_point).
+      batch: pairs per call; None exports a symbolic batch dimension.
+      with_grad: export f(src, tgt) -> (per-pair distance (B,),
+        d distance / d src (B, N, 3)) instead of the distance alone —
+        the frozen-loss training hot path, with the out-of-grid barrier
+        applied (losses/dpdist_loss.py; set out_of_grid_penalty=0 for
+        raw reference semantics).
+      portable: force the pure-XLA path (no Mosaic custom calls) so the
+        artifact runs on every platform in `platforms`.
+      platforms: lowering platforms, e.g. ("tpu", "cpu"); defaults to
+        the current backend.
+    """
+    num_point = num_point or cfg.num_point
+    if portable:
+        cfg = dataclasses.replace(cfg, fused_gather="off")
+    params = jax.device_get(params)
+    state = jax.device_get(state)
+
+    if with_grad:
+        loss_fn = make_frozen_dpdist_loss(
+            params, state, cfg, out_of_grid_penalty=out_of_grid_penalty)
+
+        def fn(src, tgt):
+            # per-pair values + src grads in one pass: vmap the scalar
+            # frozen loss over the batch, then grad each pair's scalar.
+            def one(a, b):
+                return loss_fn(a[None], b[None])
+
+            vals = jax.vmap(one)(src, tgt)
+            grads = jax.vmap(jax.grad(one))(src, tgt)
+            return vals, grads
+    else:
+        def fn(src, tgt):
+            return dpdist_distance(params, state, cfg, src, tgt,
+                                   per_example=True)
+
+    specs = _args_specs(num_point, batch)
+    kw = {}
+    if platforms is not None:
+        kw["platforms"] = tuple(platforms)
+    ctx = _portable_trace() if portable else _nullctx()
+    with ctx:
+        return jax_export.export(jax.jit(fn), **kw)(*specs)
+
+
+class _nullctx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def save_exported(exported, path: str) -> str:
+    """Serialize an Exported to disk (StableHLO + calling convention)."""
+    data = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
+
+
+def load_exported(path: str):
+    """Deserialize a served artifact; call it via ``.call(src, tgt)``."""
+    with open(path, "rb") as f:
+        return jax_export.deserialize(f.read())

@@ -1,0 +1,86 @@
+"""Serving export (dpdist_tpu/serving.py): the jax.export freeze that
+replaces the reference's meta-graph handoff
+(iterative_PCRNet_ours.py:229-231)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dpdist_tpu import serving
+from dpdist_tpu.configs import DPDistConfig
+from dpdist_tpu.losses.dpdist_loss import make_frozen_dpdist_loss
+from dpdist_tpu.models import init_dpdist, dpdist_distance
+
+CFG = DPDistConfig(num_point=16, embedding_size=64, k=3, mlp=(32, 32, 32))
+
+
+def _setup():
+    params, state = init_dpdist(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(-0.8, 0.8, (2, 16, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-0.8, 0.8, (2, 16, 3)).astype(np.float32))
+    return params, state, a, b
+
+
+def test_export_roundtrip_matches_direct_call(tmp_path):
+    params, state, a, b = _setup()
+    exp = serving.export_frozen_distance(params, state, CFG, batch=2)
+    want = dpdist_distance(params, state, CFG, a, b, per_example=True)
+    np.testing.assert_allclose(np.asarray(exp.call(a, b)),
+                               np.asarray(want), rtol=1e-6, atol=1e-8)
+    # serialize -> deserialize -> identical results, no package needed
+    path = str(tmp_path / "model.dpdist")
+    serving.save_exported(exp, path)
+    reloaded = serving.load_exported(path)
+    np.testing.assert_allclose(np.asarray(reloaded.call(a, b)),
+                               np.asarray(want), rtol=1e-6, atol=1e-8)
+    assert os.path.getsize(path) > 0
+
+
+def test_export_symbolic_batch_serves_any_size():
+    params, state, a, b = _setup()
+    exp = serving.export_frozen_distance(params, state, CFG)  # batch=None
+    assert "b" in str(exp.in_avals[0].shape[0])
+    for B in (1, 3, 5):
+        out = exp.call(jnp.tile(a[:1], (B, 1, 1)), jnp.tile(b[:1], (B, 1, 1)))
+        assert out.shape == (B,)
+        # every row is the same pair => identical scores
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(out)[0] * np.ones(B),
+                                   rtol=1e-6)
+
+
+def test_export_with_grad_matches_frozen_loss(tmp_path):
+    params, state, a, b = _setup()
+    exp = serving.export_frozen_distance(params, state, CFG, batch=2,
+                                         with_grad=True)
+    vals, grads = exp.call(a, b)
+    assert vals.shape == (2,) and grads.shape == (2, 16, 3)
+
+    loss_fn = make_frozen_dpdist_loss(params, state, CFG)
+    for i in range(2):
+        want_v = loss_fn(a[i:i + 1], b[i:i + 1])
+        want_g = jax.grad(lambda x: loss_fn(x, b[i:i + 1]))(a[i:i + 1])
+        np.testing.assert_allclose(np.asarray(vals[i]), np.asarray(want_v),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(grads[i]),
+                                   np.asarray(want_g[0]),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_export_cli(tmp_path):
+    from dpdist_tpu.train.checkpoint import save_checkpoint
+    from dpdist_tpu.cli.export_serving import main
+
+    params, state, a, b = _setup()
+    ck = str(tmp_path / "ckpt_1")
+    save_checkpoint(ck, {"params": params, "state": state},
+                    metadata={"model_config": CFG.to_json()})
+    out = str(tmp_path / "model.dpdist")
+    main(["--dpdist_ckpt", ck, "--out", out, "--batch", "2"])
+    reloaded = serving.load_exported(out)
+    want = dpdist_distance(params, state, CFG, a, b, per_example=True)
+    np.testing.assert_allclose(np.asarray(reloaded.call(a, b)),
+                               np.asarray(want), rtol=1e-6, atol=1e-8)
