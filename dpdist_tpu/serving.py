@@ -9,15 +9,18 @@ serialize the StableHLO (weights baked in as constants), and reload it in
 any process with a compatible JAX — no dpdist_tpu package, checkpoint
 files, or Python model code needed at the consumer.
 
-Two functions are exportable:
+Three functions are exportable:
 
 - the frozen distance d(pcA, pcB) -> (B,) per-pair scores
-  (`dpdist_distance` semantics, dpdist_util.get_loss:976-979), and
+  (`dpdist_distance` semantics, dpdist_util.get_loss:976-979),
 - its value-and-gradient w.r.t. the SOURCE cloud — the downstream
   training hot path (gradients flow through the frozen net into the
   moving cloud only, iterative_PCRNet_ours.py:255-257 semantics), so a
   consumer can run registration/optimization against the artifact
-  without ever tracing the model.
+  without ever tracing the model, and
+- a frozen iterative-PCRNet registration policy: (template, source) ->
+  (predicted SE(3) transform, aligned source), the whole refinement
+  scan inside the artifact (`export_registration`).
 
 Portability: by default the export forces the pure-XLA compute path
 (`fused_gather="off"`, 3DmFV impl "xla") so the artifact contains no
@@ -132,6 +135,45 @@ class _nullctx:
 
     def __exit__(self, *exc):
         return False
+
+
+def export_registration(params, pcfg, *, state=None,
+                        num_point: Optional[int] = None,
+                        iterations: Optional[int] = None,
+                        batch: Optional[int] = None,
+                        portable: bool = True,
+                        platforms: Optional[Sequence[str]] = None):
+    """Export a frozen iterative-PCRNet registration policy.
+
+    Serves f(template, source) -> (T_pred (B, 4, 4), aligned (B, N, 3)):
+    the whole fixed-iteration refinement loop (one lax.scan on device,
+    models/pcrnet.py) runs inside the artifact; T_pred follows the
+    evaluator's GT convention — the INVERSE of the accumulated transform
+    (find_final_pose_inv, helper.py:347-361) — so it composes directly
+    with pose CSVs. iterations defaults to pcfg.eval_iterations (the
+    no-stop protocol's 50, results_itrPCRNet_no_stop.py:331-335).
+    """
+    from dpdist_tpu.geometry.se3 import invert_transform
+    from dpdist_tpu.models.pcrnet import pcrnet_refine
+
+    num_point = num_point or pcfg.num_point
+    iterations = iterations or pcfg.eval_iterations
+    params = jax.device_get(params)
+    state = jax.device_get(state) if state is not None else None
+
+    def fn(template, source):
+        aligned, T_total, _ = pcrnet_refine(
+            params, pcfg, source, template, iterations=iterations,
+            stop_gradient_iters=False, state=state)
+        return invert_transform(T_total), aligned
+
+    specs = _args_specs(num_point, batch)
+    kw = {}
+    if platforms is not None:
+        kw["platforms"] = tuple(platforms)
+    ctx = _portable_trace() if portable else _nullctx()
+    with ctx:
+        return jax_export.export(jax.jit(fn), **kw)(*specs)
 
 
 def save_exported(exported, path: str) -> str:

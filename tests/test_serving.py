@@ -84,3 +84,42 @@ def test_export_cli(tmp_path):
     want = dpdist_distance(params, state, CFG, a, b, per_example=True)
     np.testing.assert_allclose(np.asarray(reloaded.call(a, b)),
                                np.asarray(want), rtol=1e-6, atol=1e-8)
+
+
+def test_export_registration_policy(tmp_path):
+    from dpdist_tpu.configs import PCRNetConfig
+    from dpdist_tpu.geometry.se3 import invert_transform
+    from dpdist_tpu.models import init_pcrnet
+    from dpdist_tpu.models.pcrnet import pcrnet_refine
+    from dpdist_tpu.train.checkpoint import save_checkpoint
+    from dpdist_tpu.cli.export_serving import main
+
+    pcfg = PCRNetConfig(num_point=32, out_features=64, max_loops=2,
+                        eval_iterations=3, head_widths=(64, 32))
+    params, state = init_pcrnet(jax.random.PRNGKey(1), pcfg)
+    rng = np.random.default_rng(3)
+    tpl = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 32, 3)).astype(np.float32))
+    src = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 32, 3)).astype(np.float32))
+
+    exp = serving.export_registration(params, pcfg, batch=2)
+    T_pred, aligned = exp.call(tpl, src)
+    assert T_pred.shape == (2, 4, 4) and aligned.shape == (2, 32, 3)
+    want_aligned, T_total, _ = pcrnet_refine(
+        params, pcfg, src, tpl, iterations=pcfg.eval_iterations,
+        stop_gradient_iters=False)
+    np.testing.assert_allclose(np.asarray(T_pred),
+                               np.asarray(invert_transform(T_total)),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(aligned), np.asarray(want_aligned),
+                               rtol=1e-5, atol=1e-6)
+
+    # CLI path round-trips through a real checkpoint file
+    ck = str(tmp_path / "pcrnet_ckpt_best")
+    save_checkpoint(ck, {"params": params, "state": state},
+                    metadata={"pcrnet_config": pcfg.to_json()})
+    out = str(tmp_path / "policy.dpdist")
+    main(["--pcrnet_ckpt", ck, "--out", out, "--batch", "2",
+          "--iterations", "3"])
+    T2, al2 = serving.load_exported(out).call(tpl, src)
+    np.testing.assert_allclose(np.asarray(T2), np.asarray(T_pred),
+                               rtol=1e-5, atol=1e-6)
