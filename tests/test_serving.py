@@ -123,3 +123,16 @@ def test_export_registration_policy(tmp_path):
     T2, al2 = serving.load_exported(out).call(tpl, src)
     np.testing.assert_allclose(np.asarray(T2), np.asarray(T_pred),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_export_canonical_config_traces():
+    """The portable export must trace + serialize at the CANONICAL config
+    (512 Gaussians, k=5, MLP 1024^3) — tracing only, nothing executed, so
+    this is cheap even on CPU. Guards against the export path silently
+    depending on toy shapes."""
+    cfg = DPDistConfig()  # canonical
+    params, state = init_dpdist(jax.random.PRNGKey(0), cfg)
+    exp = serving.export_frozen_distance(params, state, cfg)  # symbolic B
+    assert exp.in_avals[0].shape[1:] == (64, 3)
+    data = exp.serialize()
+    assert len(data) > 1_000_000  # the 1024^3 MLP weights are baked in
