@@ -16,6 +16,7 @@ Layer map (mirrors the reference's seven layers, re-designed TPU-first):
   train/     train state, optimizer schedules, checkpointing, metrics
   eval/      pair-distance eval + registration harness
   cli/       entry points mirroring the reference's scripts
+  serving.py jax.export freeze: package-free serving artifacts
 """
 
 __version__ = "0.1.0"
