@@ -39,6 +39,12 @@ def main(argv=None):
     p.add_argument("--pose_file", default=None,
                    help="fixed-pose CSV ('default' = the committed "
                         "5,070-pose set; num_cases then defaults to all)")
+    p.add_argument("--stop_threshold", type=float, default=None,
+                   help="convergence-stopping protocol: freeze each case "
+                        "once ||T@T_prev^-1 - I||_F^2 < threshold (the "
+                        "reference defines this check with --threshold "
+                        "1e-7 but ships it disabled, "
+                        "results_itrPCRNet_no_stop.py:366-375)")
     a = p.parse_args(argv)
 
     from dpdist_tpu.configs import PCRNetConfig
@@ -82,7 +88,8 @@ def main(argv=None):
     report = evaluate_registration(params, pcfg, ds,
                                    num_cases=num_cases,
                                    iterations=a.iterations,
-                                   report_dir=a.report_dir, state=state)
+                                   report_dir=a.report_dir, state=state,
+                                   stop_threshold=a.stop_threshold)
     print(json.dumps({k: v for k, v in report.items()
                       if not k.startswith("curve_")}, indent=2))
 

@@ -54,39 +54,68 @@ def accuracy_buckets(rot_err_deg: np.ndarray, trans_err: np.ndarray):
 
 
 def _eval_program(params, state, cfg: PCRNetConfig, template, source,
-                  gt_pose6, iterations: int):
+                  gt_pose6, iterations: int, stop_threshold=None):
     """Per-iteration error curves, all on device. state carries the
-    3dmfv-encoder BN running stats (is_training=False semantics)."""
+    3dmfv-encoder BN running stats (is_training=False semantics).
+
+    stop_threshold: when set, each case's accumulated transform FREEZES
+    once the convergence error drops below the threshold — the stopping
+    protocol the reference defines but leaves disabled
+    (results_itrPCRNet_no_stop.py:366-375: `check_convergenceT` against
+    `--threshold`, with the `break` commented out). The check compares
+    this iteration's accumulated transform to the previous one and a stop
+    KEEPS the newly accumulated transform, so freezing takes effect from
+    the next iteration. None reproduces the no-stop protocol exactly.
+    """
     _, _, poses = pcrnet_refine(params, cfg, source, template,
                                 iterations=iterations,
                                 stop_gradient_iters=False, state=state)
     B = template.shape[0]
     T_gt = pose6_to_matrix(gt_pose6)
     T0 = jnp.broadcast_to(jnp.eye(4, dtype=template.dtype), (B, 4, 4))
+    frozen0 = jnp.zeros((B,), bool)
+    iter0 = jnp.full((B,), -1, jnp.int32)
 
-    def accumulate(T_prev, pose7):
-        T = compose_transforms(pose7_to_matrix(pose7), T_prev)
+    def accumulate(carry, x):
+        T_prev, frozen, conv_iter = carry
+        pose7, i = x
+        T_cand = compose_transforms(pose7_to_matrix(pose7), T_prev)
+        ce = convergence_measure(T_cand, T_prev)
+        if stop_threshold is not None:
+            T = jnp.where(frozen[:, None, None], T_prev, T_cand)
+            newly = jnp.logical_and(~frozen, ce < stop_threshold)
+            conv_iter = jnp.where(newly, i.astype(jnp.int32), conv_iter)
+            ce = jnp.where(frozen, 0.0, ce)
+            frozen = jnp.logical_or(frozen, newly)
+        else:
+            T = T_cand
         te, re = transform_errors(invert_transform(T), T_gt)
-        ce = convergence_measure(T, T_prev)
-        return T, (te, re, ce)
+        return (T, frozen, conv_iter), (te, re, ce)
 
-    T_final, (te, re, ce) = jax.lax.scan(accumulate, T0, poses)
-    return T_final, te, re, ce  # curves: (iterations, B)
+    (T_final, frozen, conv_iter), (te, re, ce) = jax.lax.scan(
+        accumulate, (T0, frozen0, iter0), (poses, jnp.arange(iterations)))
+    return T_final, te, re, ce, frozen, conv_iter  # curves: (iterations, B)
 
 
 def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
                           num_cases: int = 64, iterations: Optional[int] = None,
                           batch_size: int = 64, report_dir: Optional[str] = None,
-                          seed: int = 0, state=None):
+                          seed: int = 0, state=None,
+                          stop_threshold: Optional[float] = None):
     """Run the fixed-iteration protocol and produce the reference's report.
 
     Returns a dict with final mean/var errors, accuracy buckets, timing,
-    and the per-iteration mean error curves.
+    and the per-iteration mean error curves. stop_threshold enables the
+    reference's (disabled) convergence-stopping protocol — see
+    _eval_program; the report then also carries converged_frac /
+    converge_iter_mean.
     """
     iterations = iterations or cfg.eval_iterations
-    program = jax.jit(_eval_program, static_argnames=("cfg", "iterations"))
+    program = jax.jit(_eval_program,
+                      static_argnames=("cfg", "iterations", "stop_threshold"))
 
     all_te, all_re, all_ce = [], [], []
+    all_frozen, all_conv_iter = [], []
     families: list = []  # per-case family labels (when the dataset has them)
     batch_times = []  # per-batch wall time; [0] includes jit compilation
     # Probe return_info support once up front (a per-batch `except
@@ -123,14 +152,17 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
             source = np.concatenate([source, source[:1].repeat(pad, 0)])
             gt = np.concatenate([gt, gt[:1].repeat(pad, 0)])
         tb = time.perf_counter()
-        _, te, re, ce = program(params, state, cfg, jnp.asarray(template),
-                                jnp.asarray(source), jnp.asarray(gt),
-                                iterations)
+        _, te, re, ce, frozen, conv_iter = program(
+            params, state, cfg, jnp.asarray(template),
+            jnp.asarray(source), jnp.asarray(gt),
+            iterations, stop_threshold)
         te = np.asarray(te)  # synchronous fetch closes the batch timing
         batch_times.append((time.perf_counter() - tb, b))
         all_te.append(te[:, :b])
         all_re.append(np.asarray(re)[:, :b])
         all_ce.append(np.asarray(ce)[:, :b])
+        all_frozen.append(np.asarray(frozen)[:b])
+        all_conv_iter.append(np.asarray(conv_iter)[:b])
         n_done += b
     elapsed = time.perf_counter() - t0
     # Steady-state per-case time excludes the first batch (jit compile —
@@ -158,6 +190,13 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
         "curve_trans_err_mean": te.mean(1).tolist(),
         "curve_convergence_mean": ce.mean(1).tolist(),
     }
+    if stop_threshold is not None:
+        frozen = np.concatenate(all_frozen)
+        conv_iter = np.concatenate(all_conv_iter)
+        report["stop_threshold"] = float(stop_threshold)
+        report["converged_frac"] = float(frozen.mean())
+        if frozen.any():
+            report["converge_iter_mean"] = float(conv_iter[frozen].mean())
 
     # Per-family slice (VERDICT r2 #1: the reference's report machinery
     # slices stats per run config, helper.py:795-911; here the slice key

@@ -271,6 +271,38 @@ def test_evaluate_registration_report(tmp_path):
         assert hf["TE"].shape == (4, 8) and hf["CE"].shape == (4, 8)
 
 
+def test_evaluate_registration_stop_threshold():
+    """The convergence-stopping protocol (the reference's disabled
+    check_convergenceT + --threshold path): threshold 0 never triggers
+    and must equal the no-stop protocol; an infinite threshold freezes
+    every case at iteration 0, so the final errors equal the no-stop
+    first-iteration curve values."""
+    params, _ = init_pcrnet(jax.random.PRNGKey(0), PCFG)
+    base = evaluate_registration(
+        params, PCFG, RegistrationDataset(n_templates=4, num_point=64, seed=0),
+        num_cases=8, iterations=4, batch_size=8)
+    never = evaluate_registration(
+        params, PCFG, RegistrationDataset(n_templates=4, num_point=64, seed=0),
+        num_cases=8, iterations=4, batch_size=8, stop_threshold=0.0)
+    np.testing.assert_allclose(never["rot_err_mean_deg"],
+                               base["rot_err_mean_deg"], rtol=1e-6)
+    np.testing.assert_allclose(never["curve_convergence_mean"],
+                               base["curve_convergence_mean"], rtol=1e-6)
+    assert never["converged_frac"] == 0.0
+    assert "converge_iter_mean" not in never
+    imm = evaluate_registration(
+        params, PCFG, RegistrationDataset(n_templates=4, num_point=64, seed=0),
+        num_cases=8, iterations=4, batch_size=8, stop_threshold=float("inf"))
+    assert imm["converged_frac"] == 1.0
+    assert imm["converge_iter_mean"] == 0.0
+    np.testing.assert_allclose(imm["rot_err_mean_deg"],
+                               base["curve_rot_err_mean"][0], rtol=1e-5)
+    np.testing.assert_allclose(imm["trans_err_mean"],
+                               base["curve_trans_err_mean"][0], rtol=1e-5)
+    # frozen cases contribute ce=0 after the freeze point
+    assert all(c == 0.0 for c in imm["curve_convergence_mean"][1:])
+
+
 def test_identity_refinement_has_zero_error():
     """If the net predicted identity poses, error == initial pose error."""
     ds = RegistrationDataset(n_templates=2, num_point=64, seed=0)
