@@ -43,6 +43,9 @@ def main(argv=None):
                         "(results_itrPCRNet_no_stop.py:250-309); 'default' "
                         "uses the committed 5,070-pose set and, unless "
                         "--num_cases is given, evaluates ALL of them")
+    p.add_argument("--stop_threshold", type=float, default=None,
+                   help="enable the convergence-stopping protocol "
+                        "(see eval_registration --stop_threshold)")
     p.add_argument("--out_dir", default="runs/matrix_eval")
     p.add_argument("--skip_existing", action="store_true",
                    help="reuse per-cell JSONs already in out_dir "
@@ -121,6 +124,7 @@ def main(argv=None):
             rep = evaluate_registration(
                 params, cfg, ds, num_cases=num_cases,
                 iterations=a.iterations, state=state,
+                stop_threshold=a.stop_threshold,
                 report_dir=os.path.join(a.out_dir, f"eval_{name}_{cond}"))
             with open(os.path.join(a.out_dir, f"{name}_{cond}.json"),
                       "w") as f:

@@ -117,6 +117,11 @@ lane2() {
   runjob evalC bash scripts/eval_r4_matrices.sh C
   python scripts/analyze_50iter.py >> "$LOG" 2>&1 && say "50-iter analysis done"
   touch /tmp/groupC.done
+  # stop-threshold rescue test (group F): cheap (1,014 cases), needs only
+  # r3 checkpoints, directly answers whether convergence stopping fixes
+  # the multifam 50-iter translation drift
+  runjob evalF bash scripts/eval_r4_matrices.sh F
+  touch /tmp/groupF.done
   # wait for lane1's trainings before evaluating them
   while [ ! -f /tmp/lane1.done ]; do
     [ "$(date -u +%s)" -ge "$T_KILL_ALL" ] && return

@@ -87,6 +87,25 @@ if [ "$GROUP" = D ]; then
   cp runs/eval_r4_mf/*.json results/multifam_r4/ 2>/dev/null || true
 fi
 
+# F) 50-iteration eval WITH the convergence-STOPPING protocol
+#    (--stop_threshold 1e-7, the reference's default threshold): does
+#    stopping-at-convergence rescue the r3 multifam flagship from its
+#    translation-drift limit cycle?  Hypothesis split: converging cases
+#    freeze before drift accumulates; flip-cycle cases never meet the
+#    criterion and keep drifting. 1,014 cases to match the r3 eval50
+#    protocol; tsn model included as the stable control.
+if [ "$GROUP" = F ]; then
+  CK="mf_dpdist_ts=runs/multifam_r3/pcr_dpdist_ts/pcrnet_ckpt_best \
+      mf_dpdist_tsn=runs/multifam_r3/pcr_dpdist_tsn/pcrnet_ckpt_best"
+  python -m dpdist_tpu.cli.eval_matrix --skip_existing $MF --iterations 50 \
+    --num_cases 1014 --stop_threshold 1e-7 --ckpts $CK \
+    --conditions clean --out_dir runs/eval50stop_r4
+  cp runs/eval50stop_r4/summary.txt results/eval50_r4/summary_stopthr.txt
+  for j in runs/eval50stop_r4/*.json; do
+    cp "$j" "results/eval50_r4/stopthr_$(basename "$j")"
+  done
+fi
+
 # E) 50-iteration no-stop on the round-4 trainings (done-criterion:
 #    acc@(2.5deg,0.05) at 50 iters >= at 8 iters for the flagship).
 if [ "$GROUP" = E ]; then
