@@ -74,6 +74,38 @@ def main():
     for r in rows:
         print(r)
 
+    # Group F: the same 50-iteration eval WITH the convergence-stopping
+    # protocol (--stop_threshold 1e-7). Reported next to the no-stop row
+    # so the rescue question is answered in one table. Note group F runs
+    # 1,014 cases (the r3 eval50 protocol) vs group C's full set, so
+    # compare acc against the no-stop 50-iter value, not the 8-iter one.
+    stop_rows = []
+    for key in ("mf_dpdist_ts", "mf_dpdist_tsn"):
+        ds = load(f"runs/eval50stop_r4/{key}_clean.json")
+        if ds is None:
+            continue
+        cs = chair(ds)
+        rec = {
+            "rot50_stop": cs["rot_err_mean_deg"],
+            "te50_stop": cs["trans_err_mean"],
+            "acc50_stop": cs["acc_rot2.5_trans0.05"],
+            "converged_frac": ds.get("converged_frac"),
+            "converge_iter_mean": ds.get("converge_iter_mean"),
+        }
+        out[f"{key}_stopthr"] = rec
+        stop_rows.append(
+            f"| {key} +stop@1e-7 | rot {rec['rot50_stop']:.2f} "
+            f"| trans {rec['te50_stop']:.4f} "
+            f"| acc@2.5 {100*rec['acc50_stop']:.1f}% "
+            f"| converged {rec['converged_frac']:.2f}"
+            + (f" @iter {rec['converge_iter_mean']:.1f}"
+               if rec.get("converge_iter_mean") is not None else "")
+            + " |")
+    if stop_rows:
+        print("\nGroup F (convergence-stopping protocol, 1,014 cases):")
+        for r in stop_rows:
+            print(r)
+
     dst = os.path.join(ROOT, "results", "eval50_r4", "comparison.json")
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     json.dump(out, open(dst, "w"), indent=1)
