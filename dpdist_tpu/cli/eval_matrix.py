@@ -46,6 +46,11 @@ def main(argv=None):
     p.add_argument("--stop_threshold", type=float, default=None,
                    help="enable the convergence-stopping protocol "
                         "(see eval_registration --stop_threshold)")
+    p.add_argument("--stop_period", type=int, default=1,
+                   help="period-N convergence check (see eval_registration)")
+    p.add_argument("--stop_select", default="last",
+                   choices=["last", "chamfer"],
+                   help="transform kept at convergence (see eval_registration)")
     p.add_argument("--out_dir", default="runs/matrix_eval")
     p.add_argument("--skip_existing", action="store_true",
                    help="reuse per-cell JSONs already in out_dir "
@@ -124,7 +129,8 @@ def main(argv=None):
             rep = evaluate_registration(
                 params, cfg, ds, num_cases=num_cases,
                 iterations=a.iterations, state=state,
-                stop_threshold=a.stop_threshold,
+                stop_threshold=a.stop_threshold, stop_period=a.stop_period,
+                stop_select=a.stop_select,
                 report_dir=os.path.join(a.out_dir, f"eval_{name}_{cond}"))
             with open(os.path.join(a.out_dir, f"{name}_{cond}.json"),
                       "w") as f:

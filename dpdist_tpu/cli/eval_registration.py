@@ -45,6 +45,15 @@ def main(argv=None):
                         "reference defines this check with --threshold "
                         "1e-7 but ships it disabled, "
                         "results_itrPCRNet_no_stop.py:366-375)")
+    p.add_argument("--stop_period", type=int, default=1,
+                   help="compare against the transform from N iterations "
+                        "back (2 detects period-2 flip limit cycles whose "
+                        "per-iteration CE is pinned at ~8)")
+    p.add_argument("--stop_select", default="last",
+                   choices=["last", "chamfer"],
+                   help="transform kept at convergence: 'last' (reference "
+                        "semantics) or 'chamfer' (better-aligned of the "
+                        "two most recent cycle states, GT-free)")
     a = p.parse_args(argv)
 
     from dpdist_tpu.configs import PCRNetConfig
@@ -89,7 +98,9 @@ def main(argv=None):
                                    num_cases=num_cases,
                                    iterations=a.iterations,
                                    report_dir=a.report_dir, state=state,
-                                   stop_threshold=a.stop_threshold)
+                                   stop_threshold=a.stop_threshold,
+                                   stop_period=a.stop_period,
+                                   stop_select=a.stop_select)
     print(json.dumps({k: v for k, v in report.items()
                       if not k.startswith("curve_")}, indent=2))
 

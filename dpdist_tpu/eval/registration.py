@@ -40,6 +40,7 @@ from dpdist_tpu.geometry.se3 import (
     convergence_measure,
 )
 from dpdist_tpu.models.pcrnet import pcrnet_refine
+from dpdist_tpu.ops.chamfer import nn_distance
 
 ACCURACY_BUCKETS = ((2.5, 0.05), (5.0, 0.05), (10.0, 0.1), (20.0, 0.2))
 
@@ -54,7 +55,8 @@ def accuracy_buckets(rot_err_deg: np.ndarray, trans_err: np.ndarray):
 
 
 def _eval_program(params, state, cfg: PCRNetConfig, template, source,
-                  gt_pose6, iterations: int, stop_threshold=None):
+                  gt_pose6, iterations: int, stop_threshold=None,
+                  stop_period: int = 1, stop_select: str = "last"):
     """Per-iteration error curves, all on device. state carries the
     3dmfv-encoder BN running stats (is_training=False semantics).
 
@@ -66,6 +68,26 @@ def _eval_program(params, state, cfg: PCRNetConfig, template, source,
     this iteration's accumulated transform to the previous one and a stop
     KEEPS the newly accumulated transform, so freezing takes effect from
     the next iteration. None reproduces the no-stop protocol exactly.
+
+    stop_period (with stop_threshold): compare against the transform from
+    `stop_period` iterations back instead of the previous one. Motivated
+    by a MEASURED failure mode of the reference criterion: a policy in a
+    period-2 ~180°-flip limit cycle has per-iteration CE pinned at ~8.0
+    (the Frobenius norm² of a 180° rotation delta) even though its EVEN
+    subsequence is fully converged — period-1 stopping can never fire,
+    while the period-2 check freezes the converged even-subsequence state
+    before translation drift accumulates. The recorded CE curve stays the
+    reference's period-1 measure regardless.
+
+    stop_select: which transform to freeze at convergence. "last" keeps
+    the newly accumulated one (reference semantics). "chamfer" picks the
+    better-aligned of the two most recent cycle states by per-case
+    chamfer(T·source, template) — GT-free. Measured necessity: a naive
+    period-2 freeze lands on whichever cycle parity first passes the
+    check, which for a ~180°-flip cycle is the FLIPPED state about half
+    the time (chair rot err 44° at threshold 1e-5 on the r3 multifam
+    flagship); the transform deltas alone cannot distinguish the cycle
+    parities, only alignment quality can.
     """
     _, _, poses = pcrnet_refine(params, cfg, source, template,
                                 iterations=iterations,
@@ -75,25 +97,44 @@ def _eval_program(params, state, cfg: PCRNetConfig, template, source,
     T0 = jnp.broadcast_to(jnp.eye(4, dtype=template.dtype), (B, 4, 4))
     frozen0 = jnp.zeros((B,), bool)
     iter0 = jnp.full((B,), -1, jnp.int32)
+    # ring buffer of the last `stop_period` accumulated transforms;
+    # hist[0] is the transform from `stop_period` iterations back
+    hist0 = jnp.broadcast_to(T0, (stop_period,) + T0.shape)
 
     def accumulate(carry, x):
-        T_prev, frozen, conv_iter = carry
+        T_prev, hist, frozen, conv_iter = carry
         pose7, i = x
         T_cand = compose_transforms(pose7_to_matrix(pose7), T_prev)
         ce = convergence_measure(T_cand, T_prev)
         if stop_threshold is not None:
-            T = jnp.where(frozen[:, None, None], T_prev, T_cand)
-            newly = jnp.logical_and(~frozen, ce < stop_threshold)
+            ce_stop = ce if stop_period == 1 else \
+                convergence_measure(T_cand, hist[0])
+            # the period-p check needs p accumulated transforms first
+            armed = i >= stop_period - 1
+            newly = (~frozen) & (ce_stop < stop_threshold) & armed
+            pick = T_cand
+            if stop_select == "chamfer":
+                def percase_chamfer(Tm):
+                    aligned = jnp.einsum("bij,bnj->bni", Tm[:, :3, :3],
+                                         source) + Tm[:, None, :3, 3]
+                    d1, _, d2, _ = nn_distance(aligned, template)
+                    return (jnp.mean(d1, 1) + jnp.mean(d2, 1)) / 2.0
+                better_prev = percase_chamfer(T_prev) < percase_chamfer(T_cand)
+                pick = jnp.where(better_prev[:, None, None], T_prev, T_cand)
+            T = jnp.where(frozen[:, None, None], T_prev,
+                          jnp.where(newly[:, None, None], pick, T_cand))
             conv_iter = jnp.where(newly, i.astype(jnp.int32), conv_iter)
             ce = jnp.where(frozen, 0.0, ce)
             frozen = jnp.logical_or(frozen, newly)
         else:
             T = T_cand
+        hist = jnp.concatenate([hist[1:], T[None]], axis=0)
         te, re = transform_errors(invert_transform(T), T_gt)
-        return (T, frozen, conv_iter), (te, re, ce)
+        return (T, hist, frozen, conv_iter), (te, re, ce)
 
-    (T_final, frozen, conv_iter), (te, re, ce) = jax.lax.scan(
-        accumulate, (T0, frozen0, iter0), (poses, jnp.arange(iterations)))
+    (T_final, _, frozen, conv_iter), (te, re, ce) = jax.lax.scan(
+        accumulate, (T0, hist0, frozen0, iter0),
+        (poses, jnp.arange(iterations)))
     return T_final, te, re, ce, frozen, conv_iter  # curves: (iterations, B)
 
 
@@ -101,7 +142,8 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
                           num_cases: int = 64, iterations: Optional[int] = None,
                           batch_size: int = 64, report_dir: Optional[str] = None,
                           seed: int = 0, state=None,
-                          stop_threshold: Optional[float] = None):
+                          stop_threshold: Optional[float] = None,
+                          stop_period: int = 1, stop_select: str = "last"):
     """Run the fixed-iteration protocol and produce the reference's report.
 
     Returns a dict with final mean/var errors, accuracy buckets, timing,
@@ -112,7 +154,8 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
     """
     iterations = iterations or cfg.eval_iterations
     program = jax.jit(_eval_program,
-                      static_argnames=("cfg", "iterations", "stop_threshold"))
+                      static_argnames=("cfg", "iterations", "stop_threshold",
+                                       "stop_period", "stop_select"))
 
     all_te, all_re, all_ce = [], [], []
     all_frozen, all_conv_iter = [], []
@@ -155,7 +198,7 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
         _, te, re, ce, frozen, conv_iter = program(
             params, state, cfg, jnp.asarray(template),
             jnp.asarray(source), jnp.asarray(gt),
-            iterations, stop_threshold)
+            iterations, stop_threshold, stop_period, stop_select)
         te = np.asarray(te)  # synchronous fetch closes the batch timing
         batch_times.append((time.perf_counter() - tb, b))
         all_te.append(te[:, :b])
@@ -194,6 +237,8 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
         frozen = np.concatenate(all_frozen)
         conv_iter = np.concatenate(all_conv_iter)
         report["stop_threshold"] = float(stop_threshold)
+        report["stop_period"] = int(stop_period)
+        report["stop_select"] = str(stop_select)
         report["converged_frac"] = float(frozen.mean())
         if frozen.any():
             report["converge_iter_mean"] = float(conv_iter[frozen].mean())

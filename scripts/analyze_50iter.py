@@ -80,27 +80,30 @@ def main():
     # 1,014 cases (the r3 eval50 protocol) vs group C's full set, so
     # compare acc against the no-stop 50-iter value, not the 8-iter one.
     stop_rows = []
-    for key in ("mf_dpdist_ts", "mf_dpdist_tsn"):
-        ds = load(f"runs/eval50stop_r4/{key}_clean.json")
-        if ds is None:
-            continue
-        cs = chair(ds)
-        rec = {
-            "rot50_stop": cs["rot_err_mean_deg"],
-            "te50_stop": cs["trans_err_mean"],
-            "acc50_stop": cs["acc_rot2.5_trans0.05"],
-            "converged_frac": ds.get("converged_frac"),
-            "converge_iter_mean": ds.get("converge_iter_mean"),
-        }
-        out[f"{key}_stopthr"] = rec
-        stop_rows.append(
-            f"| {key} +stop@1e-7 | rot {rec['rot50_stop']:.2f} "
-            f"| trans {rec['te50_stop']:.4f} "
-            f"| acc@2.5 {100*rec['acc50_stop']:.1f}% "
-            f"| converged {rec['converged_frac']:.2f}"
-            + (f" @iter {rec['converge_iter_mean']:.1f}"
-               if rec.get("converge_iter_mean") is not None else "")
-            + " |")
+    for tag, dirname, label in (
+            ("stopthr", "eval50stop_r4", "+stop@1e-7"),
+            ("stopthr_p2c", "eval50stop2_r4", "+p2-chamfer@1e-3")):
+        for key in ("mf_dpdist_ts", "mf_dpdist_tsn"):
+            ds = load(f"runs/{dirname}/{key}_clean.json")
+            if ds is None:
+                continue
+            cs = chair(ds)
+            rec = {
+                "rot50_stop": cs["rot_err_mean_deg"],
+                "te50_stop": cs["trans_err_mean"],
+                "acc50_stop": cs["acc_rot2.5_trans0.05"],
+                "converged_frac": ds.get("converged_frac"),
+                "converge_iter_mean": ds.get("converge_iter_mean"),
+            }
+            out[f"{key}_{tag}"] = rec
+            stop_rows.append(
+                f"| {key} {label} | rot {rec['rot50_stop']:.2f} "
+                f"| trans {rec['te50_stop']:.4f} "
+                f"| acc@2.5 {100*rec['acc50_stop']:.1f}% "
+                f"| converged {rec['converged_frac']:.2f}"
+                + (f" @iter {rec['converge_iter_mean']:.1f}"
+                   if rec.get("converge_iter_mean") is not None else "")
+                + " |")
     if stop_rows:
         print("\nGroup F (convergence-stopping protocol, 1,014 cases):")
         for r in stop_rows:

@@ -104,6 +104,17 @@ if [ "$GROUP" = F ]; then
   for j in runs/eval50stop_r4/*.json; do
     cp "$j" "results/eval50_r4/stopthr_$(basename "$j")"
   done
+  # cycle-aware variant (CPU preview, 128-pose slice: period-2 + chamfer
+  # parity selection at 1e-3 freezes at mean iter 9 with 100% convergence
+  # and BEATS the 8-iter protocol on rot AND trans — full-set confirm)
+  python -m dpdist_tpu.cli.eval_matrix --skip_existing $MF --iterations 50 \
+    --num_cases 1014 --stop_threshold 1e-3 --stop_period 2 \
+    --stop_select chamfer --ckpts $CK \
+    --conditions clean --out_dir runs/eval50stop2_r4
+  cp runs/eval50stop2_r4/summary.txt results/eval50_r4/summary_stopthr_p2c.txt
+  for j in runs/eval50stop2_r4/*.json; do
+    cp "$j" "results/eval50_r4/stopthr_p2c_$(basename "$j")"
+  done
 fi
 
 # E) 50-iteration no-stop on the round-4 trainings (done-criterion:

@@ -301,6 +301,48 @@ def test_evaluate_registration_stop_threshold():
                                base["curve_trans_err_mean"][0], rtol=1e-5)
     # frozen cases contribute ce=0 after the freeze point
     assert all(c == 0.0 for c in imm["curve_convergence_mean"][1:])
+    # period-2 check: arms only once two transforms exist, so an infinite
+    # threshold freezes every case at iteration 1 (errors = no-stop
+    # curve[1] values); threshold 0 still never fires
+    p2 = evaluate_registration(
+        params, PCFG, RegistrationDataset(n_templates=4, num_point=64, seed=0),
+        num_cases=8, iterations=4, batch_size=8,
+        stop_threshold=float("inf"), stop_period=2)
+    assert p2["converged_frac"] == 1.0
+    assert p2["converge_iter_mean"] == 1.0
+    assert p2["stop_period"] == 2
+    np.testing.assert_allclose(p2["rot_err_mean_deg"],
+                               base["curve_rot_err_mean"][1], rtol=1e-5)
+    p2_never = evaluate_registration(
+        params, PCFG, RegistrationDataset(n_templates=4, num_point=64, seed=0),
+        num_cases=8, iterations=4, batch_size=8,
+        stop_threshold=0.0, stop_period=2)
+    np.testing.assert_allclose(p2_never["rot_err_mean_deg"],
+                               base["rot_err_mean_deg"], rtol=1e-6)
+
+
+def test_stop_select_chamfer_picks_better_aligned_state():
+    """source == template with identity GT: at an immediate freeze the
+    previous state (identity, chamfer 0) beats whatever pose the
+    untrained net predicts, so 'chamfer' selection must keep it (zero
+    final error) while 'last' keeps the predicted pose (nonzero)."""
+    from dpdist_tpu.eval.registration import _eval_program
+
+    params, state = init_pcrnet(jax.random.PRNGKey(0), PCFG)
+    cloud = jax.random.normal(jax.random.PRNGKey(5), (2, 64, 3)) * 0.3
+    gt = jnp.zeros((2, 6))
+    out_last = _eval_program(params, state, PCFG, cloud, cloud, gt, 3,
+                             stop_threshold=float("inf"), stop_period=1,
+                             stop_select="last")
+    out_cham = _eval_program(params, state, PCFG, cloud, cloud, gt, 3,
+                             stop_threshold=float("inf"), stop_period=1,
+                             stop_select="chamfer")
+    te_last, re_last = np.asarray(out_last[1])[-1], np.asarray(out_last[2])[-1]
+    te_cham, re_cham = np.asarray(out_cham[1])[-1], np.asarray(out_cham[2])[-1]
+    # untrained net predicts a non-identity pose
+    assert re_last.max() > 0.5 or te_last.max() > 1e-3
+    np.testing.assert_allclose(te_cham, 0.0, atol=1e-5)
+    np.testing.assert_allclose(re_cham, 0.0, atol=0.1)
 
 
 def test_identity_refinement_has_zero_error():
