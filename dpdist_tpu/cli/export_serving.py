@@ -42,6 +42,12 @@ def main(argv=None):
                         "backend only)")
     p.add_argument("--native_kernels", action="store_true",
                    help="keep the Pallas kernels (TPU-only artifact)")
+    p.add_argument("--stop_threshold", type=float, default=None,
+                   help="pcrnet: bake the convergence-stopping protocol "
+                        "into the artifact (see eval_registration)")
+    p.add_argument("--stop_period", type=int, default=1)
+    p.add_argument("--stop_select", default="last",
+                   choices=["last", "chamfer"])
     a = p.parse_args(argv)
 
     from dpdist_tpu import serving
@@ -62,7 +68,9 @@ def main(argv=None):
         exported = serving.export_registration(
             params, pcfg, state=state, num_point=a.num_point,
             iterations=a.iterations, batch=a.batch,
-            portable=not a.native_kernels, platforms=a.platforms)
+            portable=not a.native_kernels, platforms=a.platforms,
+            stop_threshold=a.stop_threshold, stop_period=a.stop_period,
+            stop_select=a.stop_select)
     else:
         from dpdist_tpu.cli.train_aue import load_dpdist_checkpoint
 

@@ -54,11 +54,18 @@ def accuracy_buckets(rot_err_deg: np.ndarray, trans_err: np.ndarray):
     return out
 
 
-def _eval_program(params, state, cfg: PCRNetConfig, template, source,
-                  gt_pose6, iterations: int, stop_threshold=None,
-                  stop_period: int = 1, stop_select: str = "last"):
-    """Per-iteration error curves, all on device. state carries the
-    3dmfv-encoder BN running stats (is_training=False semantics).
+def accumulate_with_stopping(poses, source, template, *, stop_threshold=None,
+                             stop_period: int = 1, stop_select: str = "last"):
+    """Accumulate per-iteration poses into transforms, with optional
+    convergence stopping. Shared by the evaluator and the serving export.
+
+    Args:
+      poses: (iterations, B, 7) per-iteration pose history from
+        pcrnet_refine.
+      source, template: (B, N, 3) — only read by stop_select="chamfer".
+
+    Returns (T_final (B,4,4), T_curve (iterations,B,4,4),
+    ce_curve (iterations,B), frozen (B,), conv_iter (B,)).
 
     stop_threshold: when set, each case's accumulated transform FREEZES
     once the convergence error drops below the threshold — the stopping
@@ -89,11 +96,7 @@ def _eval_program(params, state, cfg: PCRNetConfig, template, source,
     flagship); the transform deltas alone cannot distinguish the cycle
     parities, only alignment quality can.
     """
-    _, _, poses = pcrnet_refine(params, cfg, source, template,
-                                iterations=iterations,
-                                stop_gradient_iters=False, state=state)
-    B = template.shape[0]
-    T_gt = pose6_to_matrix(gt_pose6)
+    iterations, B = poses.shape[0], poses.shape[1]
     T0 = jnp.broadcast_to(jnp.eye(4, dtype=template.dtype), (B, 4, 4))
     frozen0 = jnp.zeros((B,), bool)
     iter0 = jnp.full((B,), -1, jnp.int32)
@@ -129,12 +132,29 @@ def _eval_program(params, state, cfg: PCRNetConfig, template, source,
         else:
             T = T_cand
         hist = jnp.concatenate([hist[1:], T[None]], axis=0)
-        te, re = transform_errors(invert_transform(T), T_gt)
-        return (T, hist, frozen, conv_iter), (te, re, ce)
+        return (T, hist, frozen, conv_iter), (T, ce)
 
-    (T_final, _, frozen, conv_iter), (te, re, ce) = jax.lax.scan(
+    (T_final, _, frozen, conv_iter), (T_curve, ce) = jax.lax.scan(
         accumulate, (T0, hist0, frozen0, iter0),
         (poses, jnp.arange(iterations)))
+    return T_final, T_curve, ce, frozen, conv_iter
+
+
+def _eval_program(params, state, cfg: PCRNetConfig, template, source,
+                  gt_pose6, iterations: int, stop_threshold=None,
+                  stop_period: int = 1, stop_select: str = "last"):
+    """Per-iteration error curves, all on device. state carries the
+    3dmfv-encoder BN running stats (is_training=False semantics). The
+    optional convergence stopping is documented on
+    accumulate_with_stopping."""
+    _, _, poses = pcrnet_refine(params, cfg, source, template,
+                                iterations=iterations,
+                                stop_gradient_iters=False, state=state)
+    T_gt = pose6_to_matrix(gt_pose6)
+    T_final, T_curve, ce, frozen, conv_iter = accumulate_with_stopping(
+        poses, source, template, stop_threshold=stop_threshold,
+        stop_period=stop_period, stop_select=stop_select)
+    te, re = transform_errors(invert_transform(T_curve), T_gt)
     return T_final, te, re, ce, frozen, conv_iter  # curves: (iterations, B)
 
 

@@ -142,7 +142,10 @@ def export_registration(params, pcfg, *, state=None,
                         iterations: Optional[int] = None,
                         batch: Optional[int] = None,
                         portable: bool = True,
-                        platforms: Optional[Sequence[str]] = None):
+                        platforms: Optional[Sequence[str]] = None,
+                        stop_threshold: Optional[float] = None,
+                        stop_period: int = 1,
+                        stop_select: str = "last"):
     """Export a frozen iterative-PCRNet registration policy.
 
     Serves f(template, source) -> (T_pred (B, 4, 4), aligned (B, N, 3)):
@@ -152,7 +155,17 @@ def export_registration(params, pcfg, *, state=None,
     (find_final_pose_inv, helper.py:347-361) — so it composes directly
     with pose CSVs. iterations defaults to pcfg.eval_iterations (the
     no-stop protocol's 50, results_itrPCRNet_no_stop.py:331-335).
+
+    stop_threshold/stop_period/stop_select bake the convergence-stopping
+    protocol (eval.registration.accumulate_with_stopping) INTO the
+    artifact: per-case transforms freeze at convergence inside the scan,
+    so the served policy carries the deployment-grade protocol (e.g.
+    period-2 + chamfer selection, which on the drifting multifam
+    flagship beats the fixed-8-iteration protocol on both rotation and
+    translation). The returned aligned cloud is the frozen transform
+    applied to the source.
     """
+    from dpdist_tpu.eval.registration import accumulate_with_stopping
     from dpdist_tpu.geometry.se3 import invert_transform
     from dpdist_tpu.models.pcrnet import pcrnet_refine
 
@@ -162,9 +175,15 @@ def export_registration(params, pcfg, *, state=None,
     state = jax.device_get(state) if state is not None else None
 
     def fn(template, source):
-        aligned, T_total, _ = pcrnet_refine(
+        aligned, T_total, poses = pcrnet_refine(
             params, pcfg, source, template, iterations=iterations,
             stop_gradient_iters=False, state=state)
+        if stop_threshold is not None:
+            T_total, _, _, _, _ = accumulate_with_stopping(
+                poses, source, template, stop_threshold=stop_threshold,
+                stop_period=stop_period, stop_select=stop_select)
+            aligned = jnp.einsum("bij,bnj->bni", T_total[:, :3, :3],
+                                 source) + T_total[:, None, :3, 3]
         return invert_transform(T_total), aligned
 
     specs = _args_specs(num_point, batch)

@@ -125,6 +125,40 @@ def test_export_registration_policy(tmp_path):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_export_registration_stop_protocol(tmp_path):
+    """A stop-aware export must match the evaluator's frozen transforms:
+    threshold 0 never fires (== fixed-iteration policy); an infinite
+    threshold with chamfer selection on a self-aligned pair freezes the
+    identity, so T_pred == I and aligned == source."""
+    from dpdist_tpu.configs import PCRNetConfig
+    from dpdist_tpu.models import init_pcrnet
+
+    pcfg = PCRNetConfig(num_point=32, out_features=64, max_loops=2,
+                        eval_iterations=3, head_widths=(64, 32))
+    params, _ = init_pcrnet(jax.random.PRNGKey(1), pcfg)
+    rng = np.random.default_rng(3)
+    tpl = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 32, 3)).astype(np.float32))
+    src = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 32, 3)).astype(np.float32))
+
+    base = serving.export_registration(params, pcfg, batch=2)
+    never = serving.export_registration(params, pcfg, batch=2,
+                                        stop_threshold=0.0)
+    Tb, ab = base.call(tpl, src)
+    Tn, an = never.call(tpl, src)
+    np.testing.assert_allclose(np.asarray(Tn), np.asarray(Tb),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(an), np.asarray(ab),
+                               rtol=1e-5, atol=1e-6)
+
+    cyc = serving.export_registration(params, pcfg, batch=2,
+                                      stop_threshold=float("inf"),
+                                      stop_period=1, stop_select="chamfer")
+    Tc, ac = cyc.call(tpl, tpl)  # source == template: identity is optimal
+    eye = np.broadcast_to(np.eye(4, dtype=np.float32), (2, 4, 4))
+    np.testing.assert_allclose(np.asarray(Tc), eye, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ac), np.asarray(tpl), atol=1e-5)
+
+
 def test_export_canonical_config_traces():
     """The portable export must trace + serialize at the CANONICAL config
     (512 Gaussians, k=5, MLP 1024^3) — tracing only, nothing executed, so
