@@ -48,6 +48,10 @@ def main(argv=None):
     p.add_argument("--stop_period", type=int, default=1)
     p.add_argument("--stop_select", default="last",
                    choices=["last", "chamfer"])
+    p.add_argument("--early_exit", action="store_true",
+                   help="pcrnet + stop_threshold: serve a lax.while_loop "
+                        "that returns as soon as the whole batch froze "
+                        "(adaptive compute, same outputs)")
     a = p.parse_args(argv)
 
     from dpdist_tpu import serving
@@ -70,7 +74,7 @@ def main(argv=None):
             iterations=a.iterations, batch=a.batch,
             portable=not a.native_kernels, platforms=a.platforms,
             stop_threshold=a.stop_threshold, stop_period=a.stop_period,
-            stop_select=a.stop_select)
+            stop_select=a.stop_select, early_exit=a.early_exit)
     else:
         from dpdist_tpu.cli.train_aue import load_dpdist_checkpoint
 

@@ -100,44 +100,63 @@ def accumulate_with_stopping(poses, source, template, *, stop_threshold=None,
     T0 = jnp.broadcast_to(jnp.eye(4, dtype=template.dtype), (B, 4, 4))
     frozen0 = jnp.zeros((B,), bool)
     iter0 = jnp.full((B,), -1, jnp.int32)
-    # ring buffer of the last `stop_period` accumulated transforms;
-    # hist[0] is the transform from `stop_period` iterations back
-    hist0 = jnp.broadcast_to(T0, (stop_period,) + T0.shape)
+    hist0 = init_stop_hist(T0, stop_period)
 
     def accumulate(carry, x):
-        T_prev, hist, frozen, conv_iter = carry
         pose7, i = x
-        T_cand = compose_transforms(pose7_to_matrix(pose7), T_prev)
-        ce = convergence_measure(T_cand, T_prev)
-        if stop_threshold is not None:
-            ce_stop = ce if stop_period == 1 else \
-                convergence_measure(T_cand, hist[0])
-            # the period-p check needs p accumulated transforms first
-            armed = i >= stop_period - 1
-            newly = (~frozen) & (ce_stop < stop_threshold) & armed
-            pick = T_cand
-            if stop_select == "chamfer":
-                def percase_chamfer(Tm):
-                    aligned = jnp.einsum("bij,bnj->bni", Tm[:, :3, :3],
-                                         source) + Tm[:, None, :3, 3]
-                    d1, _, d2, _ = nn_distance(aligned, template)
-                    return (jnp.mean(d1, 1) + jnp.mean(d2, 1)) / 2.0
-                better_prev = percase_chamfer(T_prev) < percase_chamfer(T_cand)
-                pick = jnp.where(better_prev[:, None, None], T_prev, T_cand)
-            T = jnp.where(frozen[:, None, None], T_prev,
-                          jnp.where(newly[:, None, None], pick, T_cand))
-            conv_iter = jnp.where(newly, i.astype(jnp.int32), conv_iter)
-            ce = jnp.where(frozen, 0.0, ce)
-            frozen = jnp.logical_or(frozen, newly)
-        else:
-            T = T_cand
-        hist = jnp.concatenate([hist[1:], T[None]], axis=0)
-        return (T, hist, frozen, conv_iter), (T, ce)
+        carry, (T, ce) = stopping_step(
+            carry, pose7, i, source, template,
+            stop_threshold=stop_threshold, stop_period=stop_period,
+            stop_select=stop_select)
+        return carry, (T, ce)
 
     (T_final, _, frozen, conv_iter), (T_curve, ce) = jax.lax.scan(
         accumulate, (T0, hist0, frozen0, iter0),
         (poses, jnp.arange(iterations)))
     return T_final, T_curve, ce, frozen, conv_iter
+
+
+def init_stop_hist(T0, stop_period: int):
+    """Ring buffer of the last `stop_period` accumulated transforms;
+    hist[0] is the transform from `stop_period` iterations back."""
+    return jnp.broadcast_to(T0, (stop_period,) + T0.shape)
+
+
+def stopping_step(carry, pose7, i, source, template, *, stop_threshold,
+                  stop_period: int, stop_select: str):
+    """One pose-accumulation + freeze step. Shared by the evaluator's
+    scan (accumulate_with_stopping) and the serving export's early-exit
+    while_loop (serving.export_registration) so the two cannot diverge.
+
+    carry = (T_prev (B,4,4), hist (stop_period,B,4,4), frozen (B,),
+    conv_iter (B,)); returns (new_carry, (T, ce))."""
+    T_prev, hist, frozen, conv_iter = carry
+    T_cand = compose_transforms(pose7_to_matrix(pose7), T_prev)
+    ce = convergence_measure(T_cand, T_prev)
+    if stop_threshold is not None:
+        ce_stop = ce if stop_period == 1 else \
+            convergence_measure(T_cand, hist[0])
+        # the period-p check needs p accumulated transforms first
+        armed = i >= stop_period - 1
+        newly = (~frozen) & (ce_stop < stop_threshold) & armed
+        pick = T_cand
+        if stop_select == "chamfer":
+            def percase_chamfer(Tm):
+                aligned = jnp.einsum("bij,bnj->bni", Tm[:, :3, :3],
+                                     source) + Tm[:, None, :3, 3]
+                d1, _, d2, _ = nn_distance(aligned, template)
+                return (jnp.mean(d1, 1) + jnp.mean(d2, 1)) / 2.0
+            better_prev = percase_chamfer(T_prev) < percase_chamfer(T_cand)
+            pick = jnp.where(better_prev[:, None, None], T_prev, T_cand)
+        T = jnp.where(frozen[:, None, None], T_prev,
+                      jnp.where(newly[:, None, None], pick, T_cand))
+        conv_iter = jnp.where(newly, i.astype(jnp.int32), conv_iter)
+        ce = jnp.where(frozen, 0.0, ce)
+        frozen = jnp.logical_or(frozen, newly)
+    else:
+        T = T_cand
+    hist = jnp.concatenate([hist[1:], T[None]], axis=0)
+    return (T, hist, frozen, conv_iter), (T, ce)
 
 
 def _eval_program(params, state, cfg: PCRNetConfig, template, source,

@@ -145,7 +145,8 @@ def export_registration(params, pcfg, *, state=None,
                         platforms: Optional[Sequence[str]] = None,
                         stop_threshold: Optional[float] = None,
                         stop_period: int = 1,
-                        stop_select: str = "last"):
+                        stop_select: str = "last",
+                        early_exit: bool = False):
     """Export a frozen iterative-PCRNet registration policy.
 
     Serves f(template, source) -> (T_pred (B, 4, 4), aligned (B, N, 3)):
@@ -164,10 +165,24 @@ def export_registration(params, pcfg, *, state=None,
     flagship beats the fixed-8-iteration protocol on both rotation and
     translation). The returned aligned cloud is the frozen transform
     applied to the source.
+
+    early_exit (with stop_threshold): run the refinement as a
+    lax.while_loop that RETURNS as soon as every case in the batch has
+    frozen (or `iterations` is reached), instead of a fixed-length scan
+    whose freezes only mask the output. Same outputs, adaptive compute —
+    on a converging policy the loop exits after ~3-7 network iterations
+    instead of 50 (measured converge_iter_mean 2.9-6.6 on the tsn
+    model), which is the real serving-latency win at batch=1. Fixed
+    shapes throughout; only the trip count is dynamic, which XLA's
+    `while` supports on TPU.
     """
-    from dpdist_tpu.eval.registration import accumulate_with_stopping
+    from dpdist_tpu.eval.registration import (
+        accumulate_with_stopping,
+        init_stop_hist,
+        stopping_step,
+    )
     from dpdist_tpu.geometry.se3 import invert_transform
-    from dpdist_tpu.models.pcrnet import pcrnet_refine
+    from dpdist_tpu.models.pcrnet import apply_pcrnet, pcrnet_refine
 
     num_point = num_point or pcfg.num_point
     iterations = iterations or pcfg.eval_iterations
@@ -175,13 +190,48 @@ def export_registration(params, pcfg, *, state=None,
     state = jax.device_get(state) if state is not None else None
 
     def fn(template, source):
-        aligned, T_total, poses = pcrnet_refine(
-            params, pcfg, source, template, iterations=iterations,
-            stop_gradient_iters=False, state=state)
+        if stop_threshold is not None and early_exit:
+            B = source.shape[0]
+            T0 = jnp.broadcast_to(jnp.eye(4, dtype=source.dtype),
+                                  (B, 4, 4))
+            carry0 = (T0, init_stop_hist(T0, stop_period),
+                      jnp.zeros((B,), bool),
+                      jnp.full((B,), -1, jnp.int32))
+
+            def cond(c):
+                src, stop_carry, i = c
+                frozen = stop_carry[2]
+                return (i < iterations) & ~jnp.all(frozen)
+
+            def body(c):
+                src, stop_carry, i = c
+                pose = apply_pcrnet(params, pcfg, src, template,
+                                    state=state, train=False)
+                from dpdist_tpu.geometry.se3 import apply_quat
+                from dpdist_tpu.geometry.rotations import normalize_quat
+                new_src = apply_quat(src, normalize_quat(pose[..., 3:7]),
+                                     pose[..., :3])
+                # frozen cases stop moving (their T no longer updates, so
+                # feeding the net their evolving cloud is wasted work)
+                frozen = stop_carry[2]
+                new_src = jnp.where(frozen[:, None, None], src, new_src)
+                stop_carry, _ = stopping_step(
+                    stop_carry, pose, i, source, template,
+                    stop_threshold=stop_threshold,
+                    stop_period=stop_period, stop_select=stop_select)
+                return (new_src, stop_carry, i + 1)
+
+            _, (T_total, _, _, _), _ = jax.lax.while_loop(
+                cond, body, (source, carry0, jnp.int32(0)))
+        else:
+            aligned, T_total, poses = pcrnet_refine(
+                params, pcfg, source, template, iterations=iterations,
+                stop_gradient_iters=False, state=state)
+            if stop_threshold is not None:
+                T_total, _, _, _, _ = accumulate_with_stopping(
+                    poses, source, template, stop_threshold=stop_threshold,
+                    stop_period=stop_period, stop_select=stop_select)
         if stop_threshold is not None:
-            T_total, _, _, _, _ = accumulate_with_stopping(
-                poses, source, template, stop_threshold=stop_threshold,
-                stop_period=stop_period, stop_select=stop_select)
             aligned = jnp.einsum("bij,bnj->bni", T_total[:, :3, :3],
                                  source) + T_total[:, None, :3, 3]
         return invert_transform(T_total), aligned

@@ -158,6 +158,23 @@ def test_export_registration_stop_protocol(tmp_path):
     np.testing.assert_allclose(np.asarray(Tc), eye, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ac), np.asarray(tpl), atol=1e-5)
 
+    # early-exit while_loop variant must be output-identical to the
+    # masked fixed-length scan, whether the batch freezes immediately
+    # (inf), never (0 -> runs all iterations), or mid-way (chamfer)
+    for kw in ({"stop_threshold": float("inf")},
+               {"stop_threshold": 0.0},
+               {"stop_threshold": float("inf"), "stop_period": 2,
+                "stop_select": "chamfer"}):
+        masked = serving.export_registration(params, pcfg, batch=2, **kw)
+        ee = serving.export_registration(params, pcfg, batch=2,
+                                         early_exit=True, **kw)
+        Tm, am = masked.call(tpl, src)
+        Te, ae = ee.call(tpl, src)
+        np.testing.assert_allclose(np.asarray(Te), np.asarray(Tm),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ae), np.asarray(am),
+                                   rtol=1e-5, atol=1e-6)
+
 
 def test_export_canonical_config_traces():
     """The portable export must trace + serialize at the CANONICAL config
