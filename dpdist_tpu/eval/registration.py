@@ -34,6 +34,7 @@ from dpdist_tpu.configs import PCRNetConfig
 from dpdist_tpu.geometry.se3 import (
     pose6_to_matrix,
     pose7_to_matrix,
+    apply_transform,
     invert_transform,
     compose_transforms,
     transform_errors,
@@ -97,10 +98,8 @@ def accumulate_with_stopping(poses, source, template, *, stop_threshold=None,
     parities, only alignment quality can.
     """
     iterations, B = poses.shape[0], poses.shape[1]
-    T0 = jnp.broadcast_to(jnp.eye(4, dtype=template.dtype), (B, 4, 4))
-    frozen0 = jnp.zeros((B,), bool)
-    iter0 = jnp.full((B,), -1, jnp.int32)
-    hist0 = init_stop_hist(T0, stop_period)
+    carry0 = init_stop_carry(template.dtype, B, stop_period, source,
+                             template, stop_select)
 
     def accumulate(carry, x):
         pose7, i = x
@@ -110,16 +109,31 @@ def accumulate_with_stopping(poses, source, template, *, stop_threshold=None,
             stop_select=stop_select)
         return carry, (T, ce)
 
-    (T_final, _, frozen, conv_iter), (T_curve, ce) = jax.lax.scan(
-        accumulate, (T0, hist0, frozen0, iter0),
-        (poses, jnp.arange(iterations)))
+    (T_final, _, frozen, conv_iter, _), (T_curve, ce) = jax.lax.scan(
+        accumulate, carry0, (poses, jnp.arange(iterations)))
     return T_final, T_curve, ce, frozen, conv_iter
 
 
-def init_stop_hist(T0, stop_period: int):
-    """Ring buffer of the last `stop_period` accumulated transforms;
-    hist[0] is the transform from `stop_period` iterations back."""
-    return jnp.broadcast_to(T0, (stop_period,) + T0.shape)
+def _percase_chamfer(points, template):
+    """(B,) symmetric mean squared chamfer — the stop_select metric."""
+    d1, _, d2, _ = nn_distance(points, template)
+    return (jnp.mean(d1, 1) + jnp.mean(d2, 1)) / 2.0
+
+
+def init_stop_carry(dtype, B: int, stop_period: int, source, template,
+                    stop_select: str):
+    """Initial carry for stopping_step: (T (B,4,4), hist ring buffer of
+    the last `stop_period` transforms — hist[0] is the one from
+    `stop_period` iterations back — frozen (B,), conv_iter (B,), and the
+    chamfer of the CURRENT transform (B,), carried so stop_select=
+    'chamfer' costs one nn_distance per iteration instead of two)."""
+    if stop_period < 1:
+        raise ValueError(f"stop_period must be >= 1, got {stop_period}")
+    T0 = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (B, 4, 4))
+    sc0 = (_percase_chamfer(source, template) if stop_select == "chamfer"
+           else jnp.zeros((B,), dtype))
+    return (T0, jnp.broadcast_to(T0, (stop_period,) + T0.shape),
+            jnp.zeros((B,), bool), jnp.full((B,), -1, jnp.int32), sc0)
 
 
 def stopping_step(carry, pose7, i, source, template, *, stop_threshold,
@@ -128,11 +142,11 @@ def stopping_step(carry, pose7, i, source, template, *, stop_threshold,
     scan (accumulate_with_stopping) and the serving export's early-exit
     while_loop (serving.export_registration) so the two cannot diverge.
 
-    carry = (T_prev (B,4,4), hist (stop_period,B,4,4), frozen (B,),
-    conv_iter (B,)); returns (new_carry, (T, ce))."""
-    T_prev, hist, frozen, conv_iter = carry
+    carry: see init_stop_carry; returns (new_carry, (T, ce))."""
+    T_prev, hist, frozen, conv_iter, sc_prev = carry
     T_cand = compose_transforms(pose7_to_matrix(pose7), T_prev)
     ce = convergence_measure(T_cand, T_prev)
+    sc = sc_prev
     if stop_threshold is not None:
         ce_stop = ce if stop_period == 1 else \
             convergence_measure(T_cand, hist[0])
@@ -141,13 +155,14 @@ def stopping_step(carry, pose7, i, source, template, *, stop_threshold,
         newly = (~frozen) & (ce_stop < stop_threshold) & armed
         pick = T_cand
         if stop_select == "chamfer":
-            def percase_chamfer(Tm):
-                aligned = jnp.einsum("bij,bnj->bni", Tm[:, :3, :3],
-                                     source) + Tm[:, None, :3, 3]
-                d1, _, d2, _ = nn_distance(aligned, template)
-                return (jnp.mean(d1, 1) + jnp.mean(d2, 1)) / 2.0
-            better_prev = percase_chamfer(T_prev) < percase_chamfer(T_cand)
+            # sc_prev IS chamfer(T_prev·src): last step's sc for its T
+            sc_cand = _percase_chamfer(apply_transform(source, T_cand),
+                                       template)
+            better_prev = sc_prev < sc_cand
             pick = jnp.where(better_prev[:, None, None], T_prev, T_cand)
+            sc = jnp.where(frozen, sc_prev,
+                           jnp.where(newly, jnp.minimum(sc_prev, sc_cand),
+                                     sc_cand))
         T = jnp.where(frozen[:, None, None], T_prev,
                       jnp.where(newly[:, None, None], pick, T_cand))
         conv_iter = jnp.where(newly, i.astype(jnp.int32), conv_iter)
@@ -156,7 +171,7 @@ def stopping_step(carry, pose7, i, source, template, *, stop_threshold,
     else:
         T = T_cand
     hist = jnp.concatenate([hist[1:], T[None]], axis=0)
-    return (T, hist, frozen, conv_iter), (T, ce)
+    return (T, hist, frozen, conv_iter, sc), (T, ce)
 
 
 def _eval_program(params, state, cfg: PCRNetConfig, template, source,

@@ -210,6 +210,20 @@ def _encode_3dmfv(params, cfg: PCRNetConfig, points, *, state=None,
     return x.reshape(B, -1), new_state
 
 
+def pcrnet_iteration(params, cfg: PCRNetConfig, src, template, *,
+                     state=None, train: bool = False):
+    """One refinement iteration: predict a 7-dof pose from (src,
+    template) and apply it to src. The single step shared by
+    pcrnet_refine's scan and the serving export's early-exit while_loop
+    (serving.export_registration) so the two cannot diverge.
+
+    Returns (pose (B,7), new_src (B,N,3), state)."""
+    pose, st = apply_pcrnet(params, cfg, src, template, state=state,
+                            train=train, return_state=True)
+    new_src = apply_quat(src, normalize_quat(pose[..., 3:7]), pose[..., :3])
+    return pose, new_src, st
+
+
 def pcrnet_refine(params, cfg: PCRNetConfig, source, template, *,
                   iterations: int, stop_gradient_iters: bool = True,
                   return_trajectory: bool = False,
@@ -245,11 +259,8 @@ def pcrnet_refine(params, cfg: PCRNetConfig, source, template, *,
     def step(carry, i):
         src, T, st = carry
         is_last = i == iterations - 1
-        pose, st = apply_pcrnet(params, cfg, src, template, state=st,
-                                train=train, return_state=True)
-        q = normalize_quat(pose[..., 3:7])
-        t = pose[..., :3]
-        new_src = apply_quat(src, q, t)
+        pose, new_src, st = pcrnet_iteration(params, cfg, src, template,
+                                             state=st, train=train)
         T_new = compose_transforms(pose7_to_matrix(pose), T)
         if stop_gradient_iters:
             # detach all but the final iteration

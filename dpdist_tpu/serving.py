@@ -178,12 +178,16 @@ def export_registration(params, pcfg, *, state=None,
     """
     from dpdist_tpu.eval.registration import (
         accumulate_with_stopping,
-        init_stop_hist,
+        init_stop_carry,
         stopping_step,
     )
-    from dpdist_tpu.geometry.se3 import invert_transform
-    from dpdist_tpu.models.pcrnet import apply_pcrnet, pcrnet_refine
+    from dpdist_tpu.geometry.se3 import apply_transform, invert_transform
+    from dpdist_tpu.models.pcrnet import pcrnet_iteration, pcrnet_refine
 
+    if early_exit and stop_threshold is None:
+        raise ValueError("early_exit requires stop_threshold: without a "
+                         "stopping criterion nothing can freeze, so the "
+                         "artifact would silently run all iterations")
     num_point = num_point or pcfg.num_point
     iterations = iterations or pcfg.eval_iterations
     params = jax.device_get(params)
@@ -192,11 +196,8 @@ def export_registration(params, pcfg, *, state=None,
     def fn(template, source):
         if stop_threshold is not None and early_exit:
             B = source.shape[0]
-            T0 = jnp.broadcast_to(jnp.eye(4, dtype=source.dtype),
-                                  (B, 4, 4))
-            carry0 = (T0, init_stop_hist(T0, stop_period),
-                      jnp.zeros((B,), bool),
-                      jnp.full((B,), -1, jnp.int32))
+            carry0 = init_stop_carry(source.dtype, B, stop_period,
+                                     source, template, stop_select)
 
             def cond(c):
                 src, stop_carry, i = c
@@ -205,23 +206,19 @@ def export_registration(params, pcfg, *, state=None,
 
             def body(c):
                 src, stop_carry, i = c
-                pose = apply_pcrnet(params, pcfg, src, template,
-                                    state=state, train=False)
-                from dpdist_tpu.geometry.se3 import apply_quat
-                from dpdist_tpu.geometry.rotations import normalize_quat
-                new_src = apply_quat(src, normalize_quat(pose[..., 3:7]),
-                                     pose[..., :3])
-                # frozen cases stop moving (their T no longer updates, so
-                # feeding the net their evolving cloud is wasted work)
-                frozen = stop_carry[2]
-                new_src = jnp.where(frozen[:, None, None], src, new_src)
+                # frozen cases keep evolving exactly as in the fixed
+                # scan (their T no longer updates, but masking their
+                # cloud would change shared batch statistics on a BN
+                # fallback path and break scan/while output parity)
+                pose, new_src, _ = pcrnet_iteration(
+                    params, pcfg, src, template, state=state, train=False)
                 stop_carry, _ = stopping_step(
                     stop_carry, pose, i, source, template,
                     stop_threshold=stop_threshold,
                     stop_period=stop_period, stop_select=stop_select)
                 return (new_src, stop_carry, i + 1)
 
-            _, (T_total, _, _, _), _ = jax.lax.while_loop(
+            _, (T_total, _, _, _, _), _ = jax.lax.while_loop(
                 cond, body, (source, carry0, jnp.int32(0)))
         else:
             aligned, T_total, poses = pcrnet_refine(
@@ -232,8 +229,7 @@ def export_registration(params, pcfg, *, state=None,
                     poses, source, template, stop_threshold=stop_threshold,
                     stop_period=stop_period, stop_select=stop_select)
         if stop_threshold is not None:
-            aligned = jnp.einsum("bij,bnj->bni", T_total[:, :3, :3],
-                                 source) + T_total[:, None, :3, 3]
+            aligned = apply_transform(source, T_total)
         return invert_transform(T_total), aligned
 
     specs = _args_specs(num_point, batch)

@@ -21,6 +21,8 @@ T_PROBE_GIVEUP=1787058600 # 13:10 UTC Aug 18
 T_KILL_ALL=1787059500     # 13:25 UTC Aug 18
 PIDDIR=/tmp/r4g_pids
 mkdir -p "$PIDDIR"
+# stale markers from a prior partial run must not signal completion
+rm -f /tmp/chain_r4g.done /tmp/relay_healthy
 say() { echo "[chain $(date -u +%H:%M:%S)] $*" >> "$LOG"; }
 
 # run a job with its pid tracked so the deadline guard can kill it
@@ -33,6 +35,9 @@ runjob() {  # runjob <name> <cmd...>
   echo $! > "$PIDDIR/$1.pid"
   wait "$!"
   local rc=$?
+  # drop the pid file so the KILL_ALL guard never signals a finished
+  # (possibly recycled) pid
+  rm -f "$PIDDIR/$1.pid"
   say "done $1 rc=$rc"
   return $rc
 }
@@ -133,7 +138,8 @@ lane2() {
   touch /tmp/lane2.done
 }
 
-rm -f /tmp/lane1.done /tmp/lane2.done /tmp/groupB.done /tmp/groupC.done
+rm -f /tmp/lane1.done /tmp/lane2.done /tmp/groupB.done /tmp/groupC.done \
+      /tmp/groupF.done
 lane1 &
 L1=$!
 sleep 120   # stagger: let the (cached) AUE compile clear first
@@ -141,4 +147,5 @@ lane2 &
 L2=$!
 wait $L1 $L2
 say "ALL DONE"
+kill $GUARD_PID 2>/dev/null
 touch /tmp/chain_r4g.done
