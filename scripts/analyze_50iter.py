@@ -29,6 +29,14 @@ PAIRS = {
     # the clipped-recipe seed replicas
     "mf_tsn1200clip_dpdist": "runs/eval_r4_mf/mf_tsn1200clip_dpdist_clean.json",
     "mf_tsn1200clip_chamfer": "runs/eval_r4_mf/mf_tsn1200clip_chamfer_clean.json",
+    # 16-iteration BPTT horizon (group C finding: EVERY 8-iteration-
+    # trained multifam recipe drifts in translation under no-stop@50,
+    # incl. noise-trained chamfer — the policy's converged-state output
+    # is a constant small translation the 8-step horizon never
+    # penalizes; doubling the horizon doubles the visible accumulated
+    # bias and trains through 8 extra converged-state iterations)
+    "mf_loops16_dpdist": "runs/eval_r4_mf/mf_loops16_dpdist_clean.json",
+    "mf_loops16_chamfer": "runs/eval_r4_mf/mf_loops16_chamfer_clean.json",
     "mf_ts1200clip_s1_dpdist": "runs/eval_r4_mf/mf_ts1200clip_s1_dpdist_clean.json",
     "mf_ts1200clip_s2_dpdist": "runs/eval_r4_mf/mf_ts1200clip_s2_dpdist_clean.json",
 }
