@@ -42,6 +42,12 @@ def main(argv=None):
                         "training like the reference's OCCLUSIONS knob)")
     p.add_argument("--templates_h5", default=None)
     p.add_argument("--resume", default=None, help="PCRNet checkpoint base path")
+    p.add_argument("--action_reg", type=float, default=0.0,
+                   help="L1 penalty on the predicted pose magnitude of "
+                        "the LATE half of the train_single rollout — "
+                        "teaches the policy to emit the identity once "
+                        "converged (fix for the no-stop@50 translation "
+                        "drift, results/fixed_point_bias.json)")
     p.add_argument("--train_single", action="store_true",
                    help="supervise every refinement iteration (reference --train_single)")
     p.add_argument("--eval_cases", type=int, default=64,
@@ -70,6 +76,7 @@ def main(argv=None):
 
     trainer = PCRNetTrainer(pcfg, tcfg, loss_type=a.loss_type, dpdist=dpdist,
                             train_single=a.train_single,
+                            action_reg=a.action_reg,
                             run_dir=a.log_dir, mesh=mesh_from_args(a))
     if a.resume:
         trainer.restore(a.resume)

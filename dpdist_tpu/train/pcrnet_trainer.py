@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from dpdist_tpu.configs import PCRNetConfig, TrainConfig
 from dpdist_tpu.losses import make_frozen_dpdist_loss
 from dpdist_tpu.models import init_pcrnet
+from dpdist_tpu.geometry import normalize_quat
 from dpdist_tpu.models.pcrnet import pcrnet_refine
 from dpdist_tpu.ops.chamfer import chamfer_distance
 from dpdist_tpu.ops.emd import earth_mover_distance
@@ -40,11 +41,16 @@ class PCRNetTrainer:
                  loss_type: str = "chamfer",
                  dpdist: Optional[tuple] = None,  # (cfg, params, state)
                  train_single: bool = False,
+                 action_reg: float = 0.0,
                  run_dir: str = "runs/pcrnet", mesh=None,
                  logger: Optional[RunLogger] = None):
         assert loss_type in ("dpdist", "chamfer", "emd")
         if loss_type == "dpdist" and dpdist is None:
             raise ValueError("loss_type='dpdist' needs dpdist=(cfg, params, state)")
+        if action_reg and not train_single:
+            raise ValueError("action_reg needs --train_single (it penalizes "
+                             "per-iteration poses, which only the full-BPTT "
+                             "trajectory exposes to the loss)")
         self.pcfg = pcfg
         self.tcfg = tcfg
         self.loss_type = loss_type
@@ -78,12 +84,30 @@ class PCRNetTrainer:
                 # --train_single parity: every refinement iteration is
                 # supervised (iterative_PCRNet.py:313-318); gradients flow
                 # through the whole unrolled refinement.
-                _, _, _, traj, new_s = pcrnet_refine(
+                _, _, poses, traj, new_s = pcrnet_refine(
                     p, cfg, source, template, iterations=cfg.max_loops,
                     stop_gradient_iters=False, return_trajectory=True,
                     state=s, train=True, return_state=True)
                 losses = jax.vmap(lambda src: single_loss(src, template))(traj)
-                return jnp.mean(losses), new_s
+                loss = jnp.mean(losses)
+                if action_reg:
+                    # Fixed-point action regularizer (round-4 drift fix):
+                    # the measured failure under the reference's no-stop
+                    # 50-iteration protocol is a small per-case CONSTANT
+                    # translation the policy keeps emitting at converged
+                    # states (results/fixed_point_bias.json) — penalize
+                    # the motion magnitude of the LATE half of the
+                    # rollout, where a converged policy should output the
+                    # identity. L1 (norms, not squares) so ~1e-3 biases
+                    # still see gradient.
+                    half = cfg.max_loops // 2
+                    t_mag = jnp.linalg.norm(poses[half:, :, :3], axis=-1)
+                    q = normalize_quat(poses[half:, :, 3:7])
+                    # |vec(q)| = sin(angle/2): rotation deviation from
+                    # identity, sign-invariant
+                    r_mag = jnp.linalg.norm(q[..., 1:], axis=-1)
+                    loss = loss + action_reg * jnp.mean(t_mag + r_mag)
+                return loss, new_s
             src_out, T, _, new_s = pcrnet_refine(
                 p, cfg, source, template, iterations=cfg.max_loops,
                 stop_gradient_iters=True, state=s, train=True,

@@ -37,6 +37,11 @@ PAIRS = {
     # bias and trains through 8 extra converged-state iterations)
     "mf_loops16_dpdist": "runs/eval_r4_mf/mf_loops16_dpdist_clean.json",
     "mf_loops16_chamfer": "runs/eval_r4_mf/mf_loops16_chamfer_clean.json",
+    # action-regularized candidate: L1 penalty on late-rollout pose
+    # magnitude (--action_reg), teaching the policy to emit the identity
+    # at converged states — the other direct fix for the measured
+    # constant fixed-point bias (results/fixed_point_bias.json)
+    "mf_ar_dpdist": "runs/eval_r4_mf/mf_ar_dpdist_clean.json",
     "mf_ts1200clip_s1_dpdist": "runs/eval_r4_mf/mf_ts1200clip_s1_dpdist_clean.json",
     "mf_ts1200clip_s2_dpdist": "runs/eval_r4_mf/mf_ts1200clip_s2_dpdist_clean.json",
 }

@@ -75,7 +75,7 @@ echo "r4 eval battery ($GROUP) done"
 if [ "$GROUP" = D ]; then
   CK=""
   for cell in mf_tsn1200clip_dpdist mf_tsn1200clip_chamfer \
-              mf_loops16_dpdist mf_loops16_chamfer \
+              mf_loops16_dpdist mf_loops16_chamfer mf_ar_dpdist \
               mf_ts1200clip_s1_dpdist mf_ts1200clip_s2_dpdist; do
     b="runs/r4/$cell/pcrnet_ckpt_best"; f="runs/r4/$cell/pcrnet_ckpt_final"
     [ -f "$b.json" ] && CK="$CK $cell=$b"
@@ -123,7 +123,7 @@ fi
 if [ "$GROUP" = E ]; then
   CK=""
   for cell in mf_tsn1200clip_dpdist mf_tsn1200clip_chamfer \
-              mf_loops16_dpdist mf_loops16_chamfer \
+              mf_loops16_dpdist mf_loops16_chamfer mf_ar_dpdist \
               mf_ts1200clip_s1_dpdist mf_ts1200clip_s2_dpdist; do
     b="runs/r4/$cell/pcrnet_ckpt_best"
     [ -f "$b.json" ] && CK="$CK $cell=$b"

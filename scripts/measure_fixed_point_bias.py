@@ -51,6 +51,7 @@ MODELS = {
     "mf1200clip": ("runs/r4/mf_ts1200clip_dpdist/pcrnet_ckpt_best", MF),
     # round-4 horizon-fix candidates (evaluated when trained)
     "mf_loops16_dpdist": ("runs/r4/mf_loops16_dpdist/pcrnet_ckpt_best", MF),
+    "mf_ar_dpdist": ("runs/r4/mf_ar_dpdist/pcrnet_ckpt_best", MF),
     "mf_tsn1200clip_dpdist":
         ("runs/r4/mf_tsn1200clip_dpdist/pcrnet_ckpt_best", MF),
     # single-family controls (stable under no-stop@50)

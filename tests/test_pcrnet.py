@@ -506,3 +506,30 @@ def test_fit_select_family_missing_never_uses_pooled(tmp_path):
     out2 = tr.fit(ds, epochs=1, batches_per_epoch=1, eval_dataset=ds,
                   eval_every=1, eval_cases=2, select_family="chair")
     assert out2.endswith("pcrnet_ckpt_best")
+
+
+def test_action_reg_requires_train_single(tmp_path):
+    tcfg = TrainConfig(batch_size=4, learning_rate=1e-4, log_every=1000)
+    with pytest.raises(ValueError, match="train_single"):
+        PCRNetTrainer(PCFG, tcfg, loss_type="chamfer", action_reg=0.1,
+                      run_dir=str(tmp_path / "pcr_ar_bad"))
+
+
+def test_action_reg_penalizes_late_iteration_motion(tmp_path):
+    """--action_reg adds an L1 penalty on the late-half rollout poses
+    (the no-stop@50 drift fix): with identical init (same tcfg.seed) the
+    first-step regularized loss must exceed the unregularized one by a
+    strictly positive margin, and training must stay finite."""
+    ds = RegistrationDataset(n_templates=4, num_point=64,
+                             max_rotate_deg=10, seed=0)
+    tcfg = TrainConfig(batch_size=4, learning_rate=1e-4, log_every=1000)
+    template, source, _ = ds.sample_batch(4)
+    losses = {}
+    for reg in (0.0, 0.5):
+        tr = PCRNetTrainer(PCFG, tcfg, loss_type="chamfer",
+                           train_single=True, action_reg=reg,
+                           run_dir=str(tmp_path / f"pcr_ar_{reg}"))
+        losses[reg] = float(tr.train_step(template, source)["loss"])
+        assert np.isfinite(losses[reg])
+    # an untrained policy emits nonzero poses, so the penalty is > 0
+    assert losses[0.5] > losses[0.0] + 1e-6, losses
