@@ -187,3 +187,70 @@ def test_export_canonical_config_traces():
     assert exp.in_avals[0].shape[1:] == (64, 3)
     data = exp.serialize()
     assert len(data) > 1_000_000  # the 1024^3 MLP weights are baked in
+
+
+def test_run_serving_cli_registration(tmp_path, capsys):
+    """run_serving: the import/run side of the handoff — loads a saved
+    registration artifact, feeds .ply clouds (with static-batch padding
+    and point resampling), and writes the aligned cloud + JSON report."""
+    import json
+
+    from dpdist_tpu.configs import PCRNetConfig
+    from dpdist_tpu.data.io import write_ply
+    from dpdist_tpu.models import init_pcrnet
+    from dpdist_tpu.cli.run_serving import main as run_main
+
+    pcfg = PCRNetConfig(num_point=32, out_features=64, max_loops=2,
+                        eval_iterations=3, head_widths=(64, 32))
+    params, _ = init_pcrnet(jax.random.PRNGKey(1), pcfg)
+    exp = serving.export_registration(params, pcfg, batch=2)
+    art = str(tmp_path / "policy.pcrnet")
+    serving.save_exported(exp, art)
+
+    # one 48-point pair on disk -> resampled to 32, padded to batch 2,
+    # outputs sliced back to batch 1
+    rng = np.random.default_rng(5)
+    tpl_p = str(tmp_path / "t.ply")
+    src_p = str(tmp_path / "s.ply")
+    write_ply(tpl_p, rng.uniform(-0.5, 0.5, (48, 3)).astype(np.float32))
+    write_ply(src_p, rng.uniform(-0.5, 0.5, (48, 3)).astype(np.float32))
+    out_json = str(tmp_path / "res.json")
+    out_ply = str(tmp_path / "aligned.ply")
+    run_main(["--artifact", art, "--template", tpl_p, "--source", src_p,
+              "--resample", "--out_json", out_json,
+              "--out_aligned", out_ply])
+    res = json.load(open(out_json))
+    assert res["batch"] == 1 and res["num_point"] == 32
+    assert np.asarray(res["T_pred"]).shape == (1, 4, 4)
+    assert np.asarray(res["euler_deg"]).shape == (1, 3)
+    from dpdist_tpu.data.io import read_ply
+
+    assert read_ply(out_ply).shape == (32, 3)
+    brief = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "T_pred" not in brief and brief["num_point"] == 32
+
+    # synthetic smoke + bench timing field
+    run_main(["--artifact", art, "--synthetic", "chair", "--bench", "2"])
+    brief = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert brief["batch"] == 2 and "bench_ms_per_call" in brief
+
+
+def test_run_serving_cli_distance_with_grad(tmp_path, capsys):
+    import json
+
+    from dpdist_tpu.cli.run_serving import main as run_main
+
+    params, state, a, b = _setup()
+    exp = serving.export_frozen_distance(params, state, CFG, batch=2,
+                                         with_grad=True)
+    art = str(tmp_path / "model.dpdist")
+    serving.save_exported(exp, art)
+    np.save(str(tmp_path / "t.npy"), np.asarray(a))
+    np.save(str(tmp_path / "s.npy"), np.asarray(b))
+    run_main(["--artifact", art, "--template", str(tmp_path / "t.npy"),
+              "--source", str(tmp_path / "s.npy")])
+    brief = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(brief["distance"]) == 2
+    assert len(brief["grad_norm_per_pair"]) == 2
+    want = np.asarray(exp.call(a, b)[0])
+    np.testing.assert_allclose(brief["distance"], want, rtol=1e-5)
