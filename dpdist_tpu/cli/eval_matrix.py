@@ -49,7 +49,7 @@ def main(argv=None):
     p.add_argument("--stop_period", type=int, default=1,
                    help="period-N convergence check (see eval_registration)")
     p.add_argument("--stop_select", default="last",
-                   choices=["last", "chamfer"],
+                   choices=["last", "chamfer", "period0"],
                    help="transform kept at convergence (see eval_registration)")
     p.add_argument("--out_dir", default="runs/matrix_eval")
     p.add_argument("--skip_existing", action="store_true",

@@ -50,7 +50,7 @@ def main(argv=None):
                         "back (2 detects period-2 flip limit cycles whose "
                         "per-iteration CE is pinned at ~8)")
     p.add_argument("--stop_select", default="last",
-                   choices=["last", "chamfer"],
+                   choices=["last", "chamfer", "period0"],
                    help="transform kept at convergence: 'last' (reference "
                         "semantics) or 'chamfer' (better-aligned of the "
                         "two most recent cycle states, GT-free)")

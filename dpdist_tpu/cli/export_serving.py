@@ -47,7 +47,7 @@ def main(argv=None):
                         "into the artifact (see eval_registration)")
     p.add_argument("--stop_period", type=int, default=1)
     p.add_argument("--stop_select", default="last",
-                   choices=["last", "chamfer"])
+                   choices=["last", "chamfer", "period0"])
     p.add_argument("--early_exit", action="store_true",
                    help="pcrnet + stop_threshold: serve a lax.while_loop "
                         "that returns as soon as the whole batch froze "

@@ -116,6 +116,18 @@ if [ "$GROUP" = F ]; then
   for j in runs/eval50stop2_r4/*.json; do
     cp "$j" "results/eval50_r4/stopthr_p2c_$(basename "$j")"
   done
+  # parity-exact variant: keep the even-composition cycle state by
+  # ITERATION PARITY instead of a per-case chamfer pick (the chamfer
+  # pick misreads ~half the 64-point near-symmetric chairs: acc@2.5
+  # 32.0% vs 73.7% at the fixed-8 protocol)
+  python -m dpdist_tpu.cli.eval_matrix --skip_existing $MF --iterations 50 \
+    --num_cases 1014 --stop_threshold 1e-3 --stop_period 2 \
+    --stop_select period0 --ckpts $CK \
+    --conditions clean --out_dir runs/eval50stop4_r4
+  cp runs/eval50stop4_r4/summary.txt results/eval50_r4/summary_stopthr_p2p0.txt
+  for j in runs/eval50stop4_r4/*.json; do
+    cp "$j" "results/eval50_r4/stopthr_p2p0_$(basename "$j")"
+  done
 fi
 
 # E) 50-iteration no-stop on the round-4 trainings (done-criterion:

@@ -533,3 +533,38 @@ def test_action_reg_penalizes_late_iteration_motion(tmp_path):
         assert np.isfinite(losses[reg])
     # an untrained policy emits nonzero poses, so the penalty is > 0
     assert losses[0.5] > losses[0.0] + 1e-6, losses
+
+
+def test_stop_select_period0_keeps_even_composition_parity():
+    """A period-2 flip cycle whose period-2 CE check first fires at an
+    ODD composition count: 'last' freezes the flipped state (~180° rot)
+    while 'period0' keeps the most recent EVEN-composition transform —
+    iteration parity identifies the converged cycle state exactly."""
+    from dpdist_tpu.eval.registration import accumulate_with_stopping
+
+    def flip_pose(angle_deg, t=(0.01, 0.01, 0.0)):
+        half = np.radians(angle_deg) / 2
+        return np.array([*t, np.cos(half), 0.0, 0.0, np.sin(half)],
+                        np.float32)
+
+    # pose 0 is an imperfect flip (170°), the rest are exact 180° flips:
+    # CE(T3, T1) = pose2∘pose1 = F² = I fires first, at composition
+    # count 3 (odd parity)
+    seq = [flip_pose(170.0)] + [flip_pose(180.0)] * 5
+    poses = jnp.asarray(np.stack(seq)[:, None, :])  # (6, B=1, 7)
+    cloud = jnp.zeros((1, 8, 3), jnp.float32)
+
+    def final_rot_deg(stop_select):
+        T_final, _, _, frozen, conv_iter = accumulate_with_stopping(
+            poses, cloud, cloud, stop_threshold=1e-9, stop_period=2,
+            stop_select=stop_select)
+        assert bool(frozen[0]), stop_select
+        R = np.asarray(T_final)[0, :3, :3]
+        ang = np.degrees(np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1)))
+        return ang, int(conv_iter[0])
+
+    ang_last, it_last = final_rot_deg("last")
+    ang_p0, it_p0 = final_rot_deg("period0")
+    assert it_last == it_p0 == 2  # both freeze at iteration index 2
+    assert ang_last > 160.0, ang_last           # flipped parity kept
+    assert ang_p0 < 15.0, ang_p0                # even parity kept
