@@ -19,12 +19,16 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # model key in runs/eval50_r4 -> its 8-iteration eval JSON
 PAIRS = {
+    # 8-iter anchors all POST-template-fix (rebaseline_postfix.sh): the
+    # results/multifam_r3 anchors were pre-fix template draws and are
+    # not comparable with the post-fix 50-iter cells (RESULTS.md, round-4
+    # template-nondeterminism section)
     "mf1200clip": "runs/eval_r4_mf/mf1200clip_clean.json",
-    "mf_dpdist_tsn": "results/multifam_r3/mf_dpdist_tsn_clean.json",
-    "mf_chamfer_tsn": "results/multifam_r3/mf_chamfer_tsn_clean.json",
+    "mf_dpdist_tsn": "runs/eval_r4_mf/mf_dpdist_tsn_clean.json",
+    "mf_chamfer_tsn": "runs/eval_r4_mf/mf_chamfer_tsn_clean.json",
     "mf_ts_s1_dpdist": "runs/eval_r4_mf/mf_ts_s1_dpdist_clean.json",
     # the round-3 flagship itself, for the before/after row
-    "mf_dpdist_ts": "results/multifam_r3/mf_dpdist_ts_clean.json",
+    "mf_dpdist_ts": "runs/eval_r4_mf/mf_dpdist_ts_clean.json",
     # round-4 trainings (groups D/E): noise+clip flagship candidates and
     # the clipped-recipe seed replicas
     "mf_tsn1200clip_dpdist": "runs/eval_r4_mf/mf_tsn1200clip_dpdist_clean.json",

@@ -3,9 +3,13 @@
 tables and restate every round-3 'dpdist wins' conclusion against the
 seed spread.
 
-Seed 0 = the round-3 runs (results/canonical_fixed, results/multifam_r3);
-seeds 1,2 = the round-4 queue retrains of the identical recipes
-(results/canonical_fixed_seeds, results/multifam_r4). Emits
+Seed 0 = the round-3 recipes, seeds 1,2 = the round-4 queue retrains of
+the identical recipes. ALL cells read from the post-template-fix
+re-baseline (results/postfix_r4 for the canonical chair table,
+results/multifam_r4 for the multifam table) so every seed is evaluated
+on the SAME stable template draw in one process — the pre-fix tables
+(results/canonical_fixed, results/multifam_r3) carried a per-process
+template-draw term (RESULTS.md round-4 epistemic section). Emits
 results/seed_spread.json and a markdown table to stdout.
 """
 
@@ -27,31 +31,31 @@ def load(path):
 
 # cell -> {seed: relative json path} per eval condition
 CHAIR = {
-    ("clean-trained", "chamfer"): ["canonical_fixed/chamfer_{c}.json",
-                                   "canonical_fixed_seeds/clean_s1_chamfer_{c}.json",
-                                   "canonical_fixed_seeds/clean_s2_chamfer_{c}.json"],
-    ("clean-trained", "dpdist"): ["canonical_fixed/dpdist_{c}.json",
-                                  "canonical_fixed_seeds/clean_s1_dpdist_{c}.json",
-                                  "canonical_fixed_seeds/clean_s2_dpdist_{c}.json"],
-    ("noise-trained", "chamfer"): ["canonical_fixed/chamfer_n_{c}.json",
-                                   "canonical_fixed_seeds/noise_s1_chamfer_{c}.json",
-                                   "canonical_fixed_seeds/noise_s2_chamfer_{c}.json"],
-    ("noise-trained", "dpdist"): ["canonical_fixed/dpdist_n_{c}.json",
-                                  "canonical_fixed_seeds/noise_s1_dpdist_{c}.json",
-                                  "canonical_fixed_seeds/noise_s2_dpdist_{c}.json"],
-    ("train_single", "chamfer"): ["canonical_fixed/chamfer_ts_{c}.json",
-                                  "canonical_fixed_seeds/ts_s1_chamfer_{c}.json",
-                                  "canonical_fixed_seeds/ts_s2_chamfer_{c}.json"],
-    ("train_single", "dpdist"): ["canonical_fixed/dpdist_ts_{c}.json",
-                                 "canonical_fixed_seeds/ts_s1_dpdist_{c}.json",
-                                 "canonical_fixed_seeds/ts_s2_dpdist_{c}.json"],
+    ("clean-trained", "chamfer"): ["postfix_r4/canonical_chamfer_{c}.json",
+                                   "postfix_r4/canonical_clean_s1_chamfer_{c}.json",
+                                   "postfix_r4/canonical_clean_s2_chamfer_{c}.json"],
+    ("clean-trained", "dpdist"): ["postfix_r4/canonical_dpdist_{c}.json",
+                                  "postfix_r4/canonical_clean_s1_dpdist_{c}.json",
+                                  "postfix_r4/canonical_clean_s2_dpdist_{c}.json"],
+    ("noise-trained", "chamfer"): ["postfix_r4/canonical_chamfer_n_{c}.json",
+                                   "postfix_r4/canonical_noise_s1_chamfer_{c}.json",
+                                   "postfix_r4/canonical_noise_s2_chamfer_{c}.json"],
+    ("noise-trained", "dpdist"): ["postfix_r4/canonical_dpdist_n_{c}.json",
+                                  "postfix_r4/canonical_noise_s1_dpdist_{c}.json",
+                                  "postfix_r4/canonical_noise_s2_dpdist_{c}.json"],
+    ("train_single", "chamfer"): ["postfix_r4/canonical_chamfer_ts_{c}.json",
+                                  "postfix_r4/canonical_ts_s1_chamfer_{c}.json",
+                                  "postfix_r4/canonical_ts_s2_chamfer_{c}.json"],
+    ("train_single", "dpdist"): ["postfix_r4/canonical_dpdist_ts_{c}.json",
+                                 "postfix_r4/canonical_ts_s1_dpdist_{c}.json",
+                                 "postfix_r4/canonical_ts_s2_dpdist_{c}.json"],
 }
 
 MF = {
-    ("multifam ts", "chamfer"): ["multifam_r3/mf_chamfer_ts_{c}.json",
+    ("multifam ts", "chamfer"): ["multifam_r4/mf_chamfer_ts_{c}.json",
                                  "multifam_r4/mf_ts_s1_chamfer_{c}.json",
                                  "multifam_r4/mf_ts_s2_chamfer_{c}.json"],
-    ("multifam ts", "dpdist"): ["multifam_r3/mf_dpdist_ts_{c}.json",
+    ("multifam ts", "dpdist"): ["multifam_r4/mf_dpdist_ts_{c}.json",
                                 "multifam_r4/mf_ts_s1_dpdist_{c}.json",
                                 "multifam_r4/mf_ts_s2_dpdist_{c}.json"],
 }
