@@ -99,7 +99,12 @@ def main():
     stop_rows = []
     for tag, dirname, label in (
             ("stopthr", "eval50stop_r4", "+stop@1e-7"),
-            ("stopthr_p2c", "eval50stop2_r4", "+p2-chamfer@1e-3")):
+            ("stopthr_p2c", "eval50stop2_r4", "+p2-chamfer@1e-3"),
+            ("stopthr_p2p0", "eval50stop4_r4", "+p2-period0@1e-3"),
+            # parity-exact pick at the FULL 5,070-pose protocol —
+            # directly comparable with the group-C 8-iter anchors
+            ("stopthr_p2p0full", "eval50stop_p2p0_full",
+             "+p2-period0@1e-3 FULL")):
         for key in ("mf_dpdist_ts", "mf_dpdist_tsn"):
             ds = load(f"runs/{dirname}/{key}_clean.json")
             if ds is None:
