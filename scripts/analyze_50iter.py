@@ -29,6 +29,12 @@ PAIRS = {
     "mf_ts_s1_dpdist": "runs/eval_r4_mf/mf_ts_s1_dpdist_clean.json",
     # the round-3 flagship itself, for the before/after row
     "mf_dpdist_ts": "runs/eval_r4_mf/mf_dpdist_ts_clean.json",
+    # its chamfer counterpart (rebaseline stage 2): under no-stop@50 the
+    # chamfer-ts policy additionally blows up ROTATION on the symmetric
+    # families (torus 118 deg, cylinder 88 deg pooled into 52.9 vs
+    # dpdist's 22.1), so dpdist's failure is translation-only drift
+    # while chamfer's policy diverges rotationally off-chair
+    "mf_chamfer_ts": "runs/eval_r4_mf/mf_chamfer_ts_clean.json",
     # round-4 trainings (groups D/E): noise+clip flagship candidates and
     # the clipped-recipe seed replicas
     "mf_tsn1200clip_dpdist": "runs/eval_r4_mf/mf_tsn1200clip_dpdist_clean.json",
