@@ -46,6 +46,9 @@ def main(argv=None):
     p.add_argument("--start_epoch", type=int, default=0,
                    help="with --resume: continue epoch numbering from here "
                         "(total budget stays --max_epoch_aue)")
+    p.add_argument("--archive_to", default=None,
+                   help="base path (no extension) to copy aue_ckpt_best to "
+                        "on every improvement (wipe-resilience)")
     a = p.parse_args(argv)
 
     from dpdist_tpu.configs import AUEConfig
@@ -68,7 +71,7 @@ def main(argv=None):
                                  npoints=a.num_point * 2, split="test",
                                  class_choice=a.category, seed=a.seed)
     best = trainer.fit(ds, test_ds, max_epoch=a.max_epoch_aue,
-                       start_epoch=a.start_epoch)
+                       start_epoch=a.start_epoch, archive_to=a.archive_to)
     print(f"best checkpoint: {best}")
 
 

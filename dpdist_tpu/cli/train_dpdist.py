@@ -23,6 +23,12 @@ def main(argv=None):
     p.add_argument("--log_dir", default="runs/dpdist")
     p.add_argument("--eval_every", type=int, default=10)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--archive_to", default=None,
+                   help="base path (no extension) to copy ckpt_best to on "
+                        "every improvement, e.g. results/dpdist_multi; the "
+                        "wipe-resilience mechanism — runs/ is gitignored "
+                        "and has been destroyed by container replacement "
+                        "twice (CLAUDE.md)")
     a = p.parse_args(argv)
 
     from dpdist_tpu.data.modelnet import SurfacePairDataset
@@ -43,7 +49,8 @@ def main(argv=None):
     test_ds = SurfacePairDataset(a.data_root, batch_size=tcfg.batch_size,
                                  npoints=mcfg.num_point * 2, split="test",
                                  class_choice=category, seed=a.seed)
-    trainer.fit(train_ds, test_ds, eval_every=a.eval_every)
+    trainer.fit(train_ds, test_ds, eval_every=a.eval_every,
+                archive_to=a.archive_to)
 
 
 if __name__ == "__main__":

@@ -56,6 +56,11 @@ def main(argv=None):
     p.add_argument("--select_family", default=None,
                    help="best-ckpt selection on this family's eval slice "
                         "(multi-family pooled rot err is symmetry-diluted)")
+    p.add_argument("--archive_to", default=None,
+                   help="base path (no extension) to copy pcrnet_ckpt_best "
+                        "to on every improvement, e.g. results/policy_x "
+                        "(wipe-resilience: runs/ is gitignored and has been "
+                        "destroyed by container replacement twice)")
     a = p.parse_args(argv)
 
     from dpdist_tpu.configs import PCRNetConfig
@@ -92,6 +97,7 @@ def main(argv=None):
                        eval_dataset=eval_ds,
                        eval_cases=a.eval_cases,
                        select_family=a.select_family,
+                       archive_to=a.archive_to,
                        random_points_prob=a.s_rand_points,
                        noise_prob=a.noise_prob,
                        occlusion_fraction=a.occlusion_fraction)

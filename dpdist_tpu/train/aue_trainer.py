@@ -158,7 +158,7 @@ class AUETrainer:
 
     def fit(self, train_dataset, test_dataset=None, *, max_epoch: int,
             eval_every: int = 10, snapshot_every: int = 0,
-            start_epoch: int = 0):
+            start_epoch: int = 0, archive_to=None):
         """Epoch loop with best-checkpoint keeping on the held-out loss of
         the TRAINED objective (dpdist for 'ours', chamfer for 'chamfer').
 
@@ -166,8 +166,18 @@ class AUETrainer:
         (eval dpdist 0.003 -> 0.63); the reference has no recovery either
         (it just saves every 2 epochs, train_multi_gpu:513-515).
         """
+        from dpdist_tpu.train.checkpoint import (
+            archive_checkpoint, archived_meta, archived_metric)
+
         best = float("inf")
         best_path = None
+        if archive_to is not None:
+            prev = archived_metric(archive_to, "eval_score")
+            if (prev is not None
+                    and archived_meta(archive_to, "opt_type") == self.opt_type):
+                best = prev
+                self.logger.log(f"archive {archive_to}: eval_score {prev:f} "
+                                "is the bar to beat")
         # start_epoch > 0 resumes a crashed run with coherent epoch
         # numbering (total budget = max_epoch regardless of the restart).
         for epoch in range(start_epoch, max_epoch):
@@ -179,6 +189,13 @@ class AUETrainer:
                 if np.isfinite(score) and score < best:
                     best = score
                     best_path = self.save(tag="best")
+                    if archive_to is not None:
+                        archive_checkpoint(
+                            best_path, archive_to, metric=score,
+                            metric_name="eval_score",
+                            extra={"opt_type": self.opt_type})
+                        self.logger.log(f"archived -> {archive_to} "
+                                        f"(eval_score {score:f})")
             if epoch % 10 == 0:
                 self.save(tag=self.global_step)
         final = self.save(tag=self.global_step)

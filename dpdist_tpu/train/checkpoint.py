@@ -78,6 +78,58 @@ def restore_params_maybe_state(path: str, params_template: Any,
         return tree["params"], None, step
 
 
+def archive_checkpoint(src_base: str, dst_base: str, *,
+                       metric: Optional[float] = None,
+                       metric_name: str = "metric",
+                       extra: Optional[dict] = None) -> str:
+    """Copy <src_base>.{npz,json} to <dst_base>.{npz,json}, recording
+    `metric` (and `extra` keys) in the destination json metadata.
+
+    The structural wipe-resilience mechanism: run dirs (`runs/`) are
+    gitignored and were twice destroyed by container replacement; trainers
+    call this on every best-checkpoint improvement so the survivable copy
+    (`results/`) exists the moment the ckpt does, with the selection
+    metric recorded so a resumed run can never clobber the archive with a
+    worse checkpoint (see `archived_metric`).
+    """
+    import shutil
+
+    d = os.path.dirname(os.path.abspath(dst_base))
+    if d:
+        os.makedirs(d, exist_ok=True)
+    shutil.copyfile(src_base + ".npz", dst_base + ".npz")
+    with open(src_base + ".json") as f:
+        meta = json.load(f)
+    md = meta.setdefault("metadata", {})
+    if metric is not None:
+        md[metric_name] = float(metric)
+    if extra:
+        md.update(extra)
+    with open(dst_base + ".json", "w") as f:
+        json.dump(meta, f)
+    return dst_base
+
+
+def archived_meta(dst_base: str, key: str):
+    """Read back a raw metadata value from an archive json, or None."""
+    try:
+        with open(dst_base + ".json") as f:
+            meta = json.load(f)
+        return meta.get("metadata", {}).get(key)
+    except (OSError, ValueError):
+        return None
+
+
+def archived_metric(dst_base: str, metric_name: str = "metric"):
+    """Read back the metric recorded by `archive_checkpoint`, or None if
+    the archive (or the metric) does not exist."""
+    v = archived_meta(dst_base, metric_name)
+    try:
+        return float(v) if v is not None else None
+    except (ValueError, TypeError):
+        return None
+
+
 def latest_checkpoint(run_dir: str, prefix: str = "ckpt") -> Optional[str]:
     """Find the newest '<prefix>_<step>' base path in run_dir."""
     if not os.path.isdir(run_dir):

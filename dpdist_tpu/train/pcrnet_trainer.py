@@ -192,7 +192,8 @@ class PCRNetTrainer:
 
     def fit(self, train_dataset, *, epochs: int, batches_per_epoch: int = 32,
             eval_dataset=None, eval_every: int = 10, eval_cases: int = 64,
-            select_family: Optional[str] = None, **epoch_kw):
+            select_family: Optional[str] = None,
+            archive_to: Optional[str] = None, **epoch_kw):
         """Train with best-checkpoint keeping (the reference saves
         best_model.ckpt every epoch, iterative_PCRNet_ours.py:335).
 
@@ -211,8 +212,21 @@ class PCRNetTrainer:
         report) restores a sharp signal. Returns the best checkpoint path
         (or the final one when no eval_dataset is given).
         """
+        from dpdist_tpu.train.checkpoint import (
+            archive_checkpoint, archived_meta, archived_metric)
+
         best_err = float("inf")
         best_path = None
+        if archive_to is not None:
+            # Only trust the archived bar under the SAME selection
+            # protocol (metric family) — a chair-slice err and a pooled
+            # err are not comparable (symmetry dilution, docstring above).
+            prev = archived_metric(archive_to, "select_err")
+            prev_fam = archived_meta(archive_to, "select_family")
+            if prev is not None and prev_fam == (select_family or ""):
+                best_err = prev
+                self.logger.log(f"archive {archive_to}: select_err "
+                                f"{prev:f} is the bar to beat")
         for epoch in range(epochs):
             self.train_epoch(train_dataset, epoch,
                              batches_per_epoch=batches_per_epoch, **epoch_kw)
@@ -235,6 +249,13 @@ class PCRNetTrainer:
                 if err < best_err:
                     best_err = err
                     best_path = self.save(tag="best")
+                    if archive_to is not None:
+                        archive_checkpoint(
+                            best_path, archive_to, metric=err,
+                            metric_name="select_err",
+                            extra={"select_family": select_family or ""})
+                        self.logger.log(f"archived -> {archive_to} "
+                                        f"(select_err {err:f})")
         final = self.save(tag="final")
         return best_path or final
 

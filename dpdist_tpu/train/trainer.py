@@ -187,18 +187,36 @@ class DPDistTrainer:
     # ------------------------------------------------------------------
 
     def fit(self, train_dataset, test_dataset=None, *, max_epoch=None,
-            eval_every: int = 10):
+            eval_every: int = 10, archive_to: Optional[str] = None):
         """Epoch loop with periodic eval; keeps ckpt_best on the lowest
-        held-out loss (the convergence runs previously did this by hand)."""
+        held-out loss (the convergence runs previously did this by hand).
+
+        archive_to: optional base path (e.g. results/dpdist_multi) to
+        copy ckpt_best to on every improvement; `best` initializes from
+        the archive's recorded eval_l1 so a resumed run only overwrites
+        the archive with a strictly better checkpoint."""
+        from dpdist_tpu.train.checkpoint import archive_checkpoint, archived_metric
+
         max_epoch = max_epoch if max_epoch is not None else self.tcfg.max_epoch
         best = float("inf")
+        if archive_to is not None:
+            prev = archived_metric(archive_to, "eval_l1")
+            if prev is not None:
+                best = prev
+                self.logger.log(f"archive {archive_to}: eval_l1 {prev:f} "
+                                "is the bar to beat")
         for epoch in range(max_epoch):
             self.train_epoch(train_dataset, epoch)
             if (epoch % eval_every == 0) and test_dataset is not None:
                 ev = self.eval_epoch(test_dataset, epoch)
                 if np.isfinite(ev) and ev < best:
                     best = ev
-                    self.save(tag="best")
+                    path = self.save(tag="best")
+                    if archive_to is not None:
+                        archive_checkpoint(path, archive_to, metric=ev,
+                                           metric_name="eval_l1")
+                        self.logger.log(f"archived -> {archive_to} "
+                                        f"(eval_l1 {ev:f})")
             if epoch % self.tcfg.checkpoint_every_epochs == 0:
                 self.save(tag=self.global_step)
         self.save(tag=self.global_step)
