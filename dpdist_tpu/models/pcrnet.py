@@ -113,9 +113,40 @@ def _quat_limit(pose_raw, rot_lim_deg: float):
     return jnp.concatenate([t, w, direc], axis=-1)
 
 
+def template_feats_invariant(cfg: PCRNetConfig, state, train: bool) -> bool:
+    """True when the template's encoder features cannot depend on the
+    source half of the batch, i.e. when they are loop-invariant across
+    refinement iterations and safe to hoist out of the scan/while_loop.
+
+    Train mode is never invariant for the 3dmfv encoder: the reference
+    encodes source+template as ONE batch through shared BN'd convs
+    (ipcr_model.py:199-205), so training batch statistics couple the two
+    clouds. Eval with running statistics (state carries mfv_bn) decouples
+    them; eval with state=None falls back to batch statistics and stays
+    coupled. The pointnet encoder encodes the clouds separately, so it is
+    always invariant."""
+    if cfg.encoder != "3dmfv":
+        return True
+    return (not train) and state is not None and state.get("mfv_bn") is not None
+
+
+def encode_template(params, cfg: PCRNetConfig, template, *, state=None):
+    """Encode the template once, for reuse across refinement iterations.
+
+    Only valid under `template_feats_invariant` conditions (eval/serving);
+    produces the same per-row features as the concat-batch path because
+    running-stats BN and the conv stack are per-sample."""
+    if cfg.encoder == "3dmfv":
+        feats, _ = _encode_3dmfv(params, cfg, template, state=state,
+                                 train=False)
+        return feats
+    return _encode(params, cfg, template)
+
+
 def apply_pcrnet(params, cfg: PCRNetConfig, source, template, *,
                  train: bool = False, dropout_key: Optional[jax.Array] = None,
-                 state=None, return_state: bool = False):
+                 state=None, return_state: bool = False,
+                 template_feats=None):
     """Predict a 7-dof pose (tx, ty, tz, qw, qx, qy, qz) for one iteration.
 
     state carries the 3dmfv-encoder BN running statistics (init_pcrnet's
@@ -124,8 +155,26 @@ def apply_pcrnet(params, cfg: PCRNetConfig, source, template, *,
     utils/tf_util.py:515-577); train=False uses the running statistics so
     eval output does not depend on batch composition. state=None falls
     back to batch statistics (pre-state checkpoints).
+
+    template_feats: precomputed `encode_template` output — the template
+    encoding is loop-invariant across refinement iterations in eval mode,
+    so pcrnet_refine hoists it out of the scan (XLA does not move code
+    across scan iterations); passing it halves the per-iteration encoder
+    work. Only legal when `template_feats_invariant(cfg, state, train)`.
     """
-    if cfg.encoder == "3dmfv":
+    if template_feats is not None:
+        if not template_feats_invariant(cfg, state, train):
+            raise ValueError(
+                "template_feats passed but the template encoding is not "
+                "batch-independent here (3dmfv train mode, or eval without "
+                "running BN statistics)")
+        if cfg.encoder == "3dmfv":
+            sf, new_state = _encode_3dmfv(params, cfg, source, state=state,
+                                          train=False)
+        else:
+            sf, new_state = _encode(params, cfg, source), state
+        tf_ = template_feats
+    elif cfg.encoder == "3dmfv":
         # the reference encodes source+template as ONE batch through the
         # shared (BN'd) conv stack (ipcr_model.py:199-205), so BN batch
         # statistics span both clouds — concat before encoding.
@@ -211,15 +260,19 @@ def _encode_3dmfv(params, cfg: PCRNetConfig, points, *, state=None,
 
 
 def pcrnet_iteration(params, cfg: PCRNetConfig, src, template, *,
-                     state=None, train: bool = False):
+                     state=None, train: bool = False, template_feats=None):
     """One refinement iteration: predict a 7-dof pose from (src,
     template) and apply it to src. The single step shared by
     pcrnet_refine's scan and the serving export's early-exit while_loop
     (serving.export_registration) so the two cannot diverge.
 
+    template_feats: see apply_pcrnet — hoisted loop-invariant template
+    encoding (eval/serving only).
+
     Returns (pose (B,7), new_src (B,N,3), state)."""
     pose, st = apply_pcrnet(params, cfg, src, template, state=state,
-                            train=train, return_state=True)
+                            train=train, return_state=True,
+                            template_feats=template_feats)
     new_src = apply_quat(src, normalize_quat(pose[..., 3:7]), pose[..., :3])
     return pose, new_src, st
 
@@ -255,12 +308,21 @@ def pcrnet_refine(params, cfg: PCRNetConfig, source, template, *,
     B = source.shape[0]
     T0 = jnp.broadcast_to(jnp.eye(4, dtype=source.dtype), (B, 4, 4))
     carry_state = state is not None and train and cfg.encoder == "3dmfv"
+    # Loop-invariant code motion XLA cannot do across scan iterations:
+    # in eval mode the template's encoder features never change, so
+    # encode once here instead of `iterations` times inside the scan —
+    # the encoder dominates the iteration cost, so this roughly halves
+    # eval/registration refinement time. Train mode keeps the reference's
+    # coupled batch statistics (see template_feats_invariant).
+    tfeats = (encode_template(params, cfg, template, state=state)
+              if template_feats_invariant(cfg, state, train) else None)
 
     def step(carry, i):
         src, T, st = carry
         is_last = i == iterations - 1
         pose, new_src, st = pcrnet_iteration(params, cfg, src, template,
-                                             state=st, train=train)
+                                             state=st, train=train,
+                                             template_feats=tfeats)
         T_new = compose_transforms(pose7_to_matrix(pose), T)
         if stop_gradient_iters:
             # detach all but the final iteration

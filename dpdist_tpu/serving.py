@@ -182,7 +182,9 @@ def export_registration(params, pcfg, *, state=None,
         stopping_step,
     )
     from dpdist_tpu.geometry.se3 import apply_transform, invert_transform
-    from dpdist_tpu.models.pcrnet import pcrnet_iteration, pcrnet_refine
+    from dpdist_tpu.models.pcrnet import (
+        encode_template, pcrnet_iteration, pcrnet_refine,
+        template_feats_invariant)
 
     if early_exit and stop_threshold is None:
         raise ValueError("early_exit requires stop_threshold: without a "
@@ -198,6 +200,12 @@ def export_registration(params, pcfg, *, state=None,
             B = source.shape[0]
             carry0 = init_stop_carry(source.dtype, B, stop_period,
                                      source, template, stop_select)
+            # template encoding is loop-invariant in eval mode — hoist it
+            # out of the while_loop (same motion as pcrnet_refine's scan;
+            # halves the per-iteration encoder work)
+            tfeats = (encode_template(params, pcfg, template, state=state)
+                      if template_feats_invariant(pcfg, state, False)
+                      else None)
 
             def cond(c):
                 src, stop_carry, i = c
@@ -211,7 +219,8 @@ def export_registration(params, pcfg, *, state=None,
                 # cloud would change shared batch statistics on a BN
                 # fallback path and break scan/while output parity)
                 pose, new_src, _ = pcrnet_iteration(
-                    params, pcfg, src, template, state=state, train=False)
+                    params, pcfg, src, template, state=state, train=False,
+                    template_feats=tfeats)
                 stop_carry, _ = stopping_step(
                     stop_carry, pose, i, source, template,
                     stop_threshold=stop_threshold,

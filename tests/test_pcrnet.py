@@ -229,6 +229,59 @@ def test_3dmfv_encoder_ema_bn_eval_independence():
         jax.tree_util.tree_structure(state)
 
 
+def test_template_hoist_matches_unhoisted_refine():
+    """Eval-mode refinement hoists the loop-invariant template encoding
+    out of the scan (round-5: XLA cannot move code across scan
+    iterations, and the encoder dominates iteration cost). The hoisted
+    trajectory must match an explicit per-iteration unhoisted loop."""
+    from dpdist_tpu.models.pcrnet import (
+        encode_template, pcrnet_iteration, pcrnet_refine,
+        template_feats_invariant)
+
+    rng = np.random.default_rng(3)
+    for enc in ("3dmfv", "pointnet"):
+        cfg = PCRNetConfig(num_point=32, out_features=64, max_loops=4,
+                           encoder=enc)
+        params, state = init_pcrnet(jax.random.PRNGKey(0), cfg)
+        src = jnp.asarray(rng.uniform(-0.8, 0.8, (3, 32, 3)).astype(np.float32))
+        tmpl = jnp.asarray(rng.uniform(-0.8, 0.8, (3, 32, 3)).astype(np.float32))
+
+        assert template_feats_invariant(cfg, state, train=False)
+        assert not template_feats_invariant(
+            PCRNetConfig(num_point=32, out_features=64, encoder="3dmfv"),
+            None, train=False)
+
+        # hoisted (production path)
+        out, T, poses = pcrnet_refine(params, cfg, src, tmpl, iterations=4,
+                                      state=state, train=False)
+        # unhoisted: explicit python loop through the concat-batch path
+        cur = src
+        for _ in range(4):
+            pose_u, cur, _ = pcrnet_iteration(params, cfg, cur, tmpl,
+                                              state=state, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(cur),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(poses[-1]), np.asarray(pose_u),
+                                   atol=1e-5, rtol=1e-5)
+
+        # template_feats consistency at the single-iteration level
+        tf_ = encode_template(params, cfg, tmpl, state=state)
+        p_h, _, _ = pcrnet_iteration(params, cfg, src, tmpl, state=state,
+                                     train=False, template_feats=tf_)
+        p_u, _, _ = pcrnet_iteration(params, cfg, src, tmpl, state=state,
+                                     train=False)
+        np.testing.assert_allclose(np.asarray(p_h), np.asarray(p_u),
+                                   atol=1e-5, rtol=1e-5)
+
+    # guard: 3dmfv train mode must refuse precomputed template feats
+    cfg = PCRNetConfig(num_point=32, out_features=64, encoder="3dmfv")
+    params, state = init_pcrnet(jax.random.PRNGKey(0), cfg)
+    tf_ = encode_template(params, cfg, tmpl, state=state)
+    with pytest.raises(ValueError, match="not\\s+batch-independent"):
+        apply_pcrnet(params, cfg, src, tmpl, state=state, train=True,
+                     template_feats=tf_)
+
+
 def test_pcrnet_trainer_3dmfv_state_updates(tmp_path):
     """PCRNetTrainer with the 3dmfv encoder: the sharded train step must
     carry the BN state and checkpoints must round-trip it."""
