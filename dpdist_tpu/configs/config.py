@@ -57,7 +57,7 @@ class DPDistConfig(_JsonMixin):
     use_bn: bool = False          # reference default BN=0
     output_channels: int = 3      # decoder output channels; loss uses channel 0
     dtype: str = "float32"        # compute dtype for the decoder matmuls
-    fused_gather: str = "auto"    # "auto" | "on" | "table" | "full" | "off"
+    fused_gather: str = "auto"    # "auto" | "on" | "table" | "mfv" | "full" | "off"
                                   # 'on' = per-query VMEM gather kernel,
                                   # 'table' = VMEM patch-table kernel,
                                   # 'full' = table + whole decoder in VMEM

@@ -266,11 +266,30 @@ def _decoder_inputs_table_vmem(cfg: DPDistConfig, queries, fv):
     return x, mask
 
 
+def _decoder_inputs_mfv(cfg: DPDistConfig, points_enc, queries):
+    """Round-5 fully-fused front half (kernels/mfv_gather_pallas.py):
+    3DmFV encode + patch table + voxel assign + gather + concat in one
+    VMEM kernel per direction — the raw FV volume and every encode
+    intermediate never touch HBM. Valid at N <= 128 (one query tile)."""
+    from dpdist_tpu.kernels.mfv_gather_pallas import mfv_table_gather_x
+
+    _, mask, _ = voxel_assign(queries, cfg.grid_size)
+    x = mfv_table_gather_x(points_enc, queries, cfg.embedding_size,
+                           cfg.sigma, cfg.grid_size, cfg.k,
+                           dtype=jnp.dtype(cfg.dtype))
+    return x, mask
+
+
 def _fused_gather_mode(cfg: DPDistConfig) -> str:
     """Resolve cfg.fused_gather to 'off' | 'on' (per-query VMEM gather) |
-    'table' (VMEM patch table) | 'full' (table + whole decoder in VMEM)."""
+    'table' (VMEM patch table) | 'mfv' (encode + table in one kernel) |
+    'full' (table + whole decoder in VMEM)."""
     if cfg.k <= 0 or cfg.dims != 3 or cfg.encoder != "3dmfv":
         return "off"
+    if cfg.fused_gather == "mfv":
+        # Requires the canonical full-FV normalized encode whose math the
+        # kernel implements; anything else takes the table path.
+        return "mfv" if cfg.full_fv else "table"
     if cfg.fused_gather == "full":
         # Serving path: eval-only (no VJP), bf16, canonical decoder.
         ok = (cfg.conv_version == 1 and not cfg.use_bn
@@ -283,12 +302,22 @@ def _fused_gather_mode(cfg: DPDistConfig) -> str:
     #     the XLA table path (14.3 vs 12.6 ms full forward);
     #   * VMEM-table kernel ('table'): keeps full k^3*C-wide lanes and
     #     removes the table's HBM round trip — 12.7 -> 10.4 ms with EXACT
-    #     (bit-equal) outputs. auto picks it on TPU; the XLA path remains
-    #     the CPU/test path (the kernel falls back to interpret mode off-
-    #     TPU, which is slower than XLA for real workloads).
+    #     (bit-equal) outputs;
+    #   * round 5, points-level fused kernel ('mfv',
+    #     kernels/mfv_gather_pallas.py): also folds the 3DmFV encode,
+    #     voxel assign, and concat into the same program — full fwd
+    #     1.53-1.57x over 'table' (6.6 vs 10.1 ms bf16), train param-grad
+    #     step 1.45x, frozen src-grad 1.34x (scripts/probe_mfv_fused.py;
+    #     parity <= 7.6e-6 on chip). auto picks it for full-FV configs;
+    #     queries beyond one tile (N > 128) fall back to 'table' at apply
+    #     time. The XLA path remains the CPU/test path (the kernels fall
+    #     back to interpret mode off-TPU, which is slower than XLA for
+    #     real workloads).
     from dpdist_tpu.ops.threedmfv import _on_tpu
 
-    return "table" if _on_tpu() else "off"
+    if not _on_tpu():
+        return "off"
+    return "mfv" if cfg.full_fv else "table"
 
 
 def apply_dpdist(params, state, cfg: DPDistConfig, pcA, pcB, *,
@@ -332,7 +361,12 @@ def apply_dpdist(params, state, cfg: DPDistConfig, pcA, pcB, *,
         pred_AB = pred_AB * maskAB[..., None]
         pred_BA = pred_BA * maskBA[..., None]
         return pred_AB, pred_BA, {"decoder": {}}
-    if fused_mode != "off":
+    if fused_mode == "mfv" and pcA.shape[1] <= 128 and pcB.shape[1] <= 128:
+        # Points -> decoder input directly; no XLA encode stage at all.
+        nsB = {}
+        xAB, maskAB = _decoder_inputs_mfv(cfg, pcA_enc, pcB)
+        xBA, maskBA = _decoder_inputs_mfv(cfg, pcB, pcA)
+    elif fused_mode != "off":
         # Raw FV volumes only; the patch assembles in VMEM.
         dtype = jnp.dtype(cfg.dtype)
         fvA = threedmfv(pcA_enc, cfg.embedding_size, cfg.sigma,
@@ -341,7 +375,8 @@ def apply_dpdist(params, state, cfg: DPDistConfig, pcA, pcB, *,
                         full_fv=cfg.full_fv).astype(dtype)
         nsB = {}
         # 'full' in a train/grad pass degrades to the table kernel (the
-        # differentiable VMEM path), NOT the per-query 'on' kernel.
+        # differentiable VMEM path), NOT the per-query 'on' kernel; 'mfv'
+        # above a single query tile likewise.
         inputs_fn = (_decoder_inputs_fused if fused_mode == "on"
                      else _decoder_inputs_table_vmem)
         xAB, maskAB = inputs_fn(cfg, pcB, fvA)

@@ -326,3 +326,71 @@ def test_table_gather_bwd_transposed_parity(rng, monkeypatch):
                                                 interpret=True), fv)
     np.testing.assert_allclose(via_sel, np.asarray(vjp2(gout)[0]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_mfv_table_gather_x_matches_composition(rng):
+    """Round-5 fully-fused front half (points -> decoder input) matches
+    threedmfv(xla) -> astype -> table_gather_x, f32 and bf16, including
+    outside-grid queries and a non-multiple-of-8 encode cloud."""
+    import jax
+    from dpdist_tpu.kernels.mfv_gather_pallas import mfv_table_gather_x
+    from dpdist_tpu.kernels.table_gather_pallas import table_gather_x
+
+    B, M, N, G, g, k, sigma = 2, 12, 16, 64, 4, 3, 0.25
+    pts = jnp.asarray(rng.uniform(-0.9, 0.9, (B, M, 3)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-1.2, 1.2, (B, N, 3)).astype(np.float32))
+    for dt, tol in ((jnp.float32, 2e-5), (jnp.bfloat16, 2e-2)):
+        fv = threedmfv(pts, G, sigma, impl="xla").astype(dt)
+        want = np.asarray(table_gather_x(fv, q, g, k, interpret=True),
+                          np.float32)
+        got = np.asarray(
+            mfv_table_gather_x(pts, q, G, sigma, g, k, dtype=dt,
+                               interpret=True), np.float32)
+        np.testing.assert_allclose(got, want, atol=tol)
+
+    # Gradients: the custom VJP recomputes the XLA encode, so grads match
+    # the unfused composition exactly (same backward graph).
+    cot = jnp.asarray(rng.normal(size=(B, N, 3 + k ** 3 * 20))
+                      .astype(np.float32))
+
+    def f_ref(p, qq):
+        fv = threedmfv(p, G, sigma, impl="xla")
+        return jnp.sum(table_gather_x(fv, qq, g, k, interpret=True) * cot)
+
+    def f_new(p, qq):
+        return jnp.sum(
+            mfv_table_gather_x(p, qq, G, sigma, g, k, interpret=True) * cot)
+
+    gp0, gq0 = jax.grad(f_ref, argnums=(0, 1))(pts, q)
+    gp1, gq1 = jax.grad(f_new, argnums=(0, 1))(pts, q)
+    np.testing.assert_allclose(np.asarray(gp1), np.asarray(gp0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gq1), np.asarray(gq0), atol=1e-5)
+
+
+def test_mfv_mode_model_forward_matches(rng):
+    """apply_dpdist(fused_gather='mfv') == the XLA path, values and
+    parameter/cloud gradients."""
+    import jax
+    from dpdist_tpu.configs import DPDistConfig
+    from dpdist_tpu.models import init_dpdist, apply_dpdist
+
+    base = DPDistConfig(num_point=16, embedding_size=64, k=3,
+                        mlp=(32, 32, 32), fused_gather="off")
+    fused = base.replace(fused_gather="mfv")
+    params, state = init_dpdist(jax.random.PRNGKey(0), base)
+    pcA = jnp.asarray(rng.uniform(-0.8, 0.8, (2, 16, 3)).astype(np.float32))
+    pcB = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 16, 3)).astype(np.float32))
+    a0, b0, _ = apply_dpdist(params, state, base, pcA, pcB)
+    a1, b1, _ = apply_dpdist(params, state, fused, pcA, pcB)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b0), atol=2e-5)
+
+    def loss(p, A, Bc, cfg):
+        a, b, _ = apply_dpdist(p, state, cfg, A, Bc)
+        return jnp.mean(a[..., 0]) + jnp.mean(b[..., 0])
+
+    g0 = jax.grad(loss, argnums=(0, 1, 2))(params, pcA, pcB, base)
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(params, pcA, pcB, fused)
+    for x, y in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-5)
