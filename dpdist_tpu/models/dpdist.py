@@ -361,11 +361,28 @@ def apply_dpdist(params, state, cfg: DPDistConfig, pcA, pcB, *,
         pred_AB = pred_AB * maskAB[..., None]
         pred_BA = pred_BA * maskBA[..., None]
         return pred_AB, pred_BA, {"decoder": {}}
+    x2 = None
     if fused_mode == "mfv" and pcA.shape[1] <= 128 and pcB.shape[1] <= 128:
         # Points -> decoder input directly; no XLA encode stage at all.
         nsB = {}
-        xAB, maskAB = _decoder_inputs_mfv(cfg, pcA_enc, pcB)
-        xBA, maskBA = _decoder_inputs_mfv(cfg, pcB, pcA)
+        if pcA.shape == pcB.shape:
+            # Both directions in ONE kernel call (2B grid): encode
+            # [A; B], query [B; A]. Halves the dispatch count and the
+            # emitted (2B, N, 3+E) batch feeds the decoder in one call —
+            # no concat copy ever exists (the BN-on 2B semantics and the
+            # BN-off math coincide; each decoder row is independent).
+            from dpdist_tpu.kernels.mfv_gather_pallas import mfv_table_gather_x
+
+            pts2 = jnp.concatenate([pcA_enc, pcB], axis=0)
+            q2 = jnp.concatenate([pcB, pcA], axis=0)
+            x2 = mfv_table_gather_x(pts2, q2, cfg.embedding_size, cfg.sigma,
+                                    cfg.grid_size, cfg.k,
+                                    dtype=jnp.dtype(cfg.dtype))
+            _, maskAB, _ = voxel_assign(pcB, cfg.grid_size)
+            _, maskBA, _ = voxel_assign(pcA, cfg.grid_size)
+        else:
+            xAB, maskAB = _decoder_inputs_mfv(cfg, pcA_enc, pcB)
+            xBA, maskBA = _decoder_inputs_mfv(cfg, pcB, pcA)
     elif fused_mode != "off":
         # Raw FV volumes only; the patch assembles in VMEM.
         dtype = jnp.dtype(cfg.dtype)
@@ -410,7 +427,12 @@ def apply_dpdist(params, state, cfg: DPDistConfig, pcA, pcB, *,
         return mlp_apply(dec_params, state.get("decoder", {}), xx,
                          train=train, bn_momentum=bn_momentum)
 
-    if cfg.use_bn:
+    if x2 is not None:
+        # mfv 2B path: the kernel already emitted both directions as one
+        # batch; decode once and split the predictions.
+        y, dec_state = _decode(x2)
+        yAB, yBA = jnp.split(y, 2, axis=0)
+    elif cfg.use_bn:
         # One 2B batch through the decoder — preserves BN-on batch
         # statistics semantics of the reference's tf.concat([net, netB],
         # 0) (dpdist_util.py:511).
