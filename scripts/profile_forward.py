@@ -74,10 +74,27 @@ def main():
         ms = t_ms(lambda fn=fn, a=args[name]: fn(*a))
         print(json.dumps({"stage": name, "ms": round(ms, 3)}), flush=True)
 
+    # r5: the fused points->x kernel as a stage (both directions, 2B grid)
+    from dpdist_tpu.kernels.mfv_gather_pallas import mfv_table_gather_x
+
+    pts2 = jnp.concatenate([pcA, pcB], axis=0)
+    q2 = jnp.concatenate([pcB, pcA], axis=0)
+    f_mfvk = jax.jit(lambda p, q: jnp.sum(mfv_table_gather_x(
+        p, q, cfg.embedding_size, cfg.sigma, cfg.grid_size, cfg.k)))
+    ms = t_ms(lambda: f_mfvk(pts2, q2))
+    print(json.dumps({"stage": "mfv_x_kernel_2B", "ms": round(ms, 3)}),
+          flush=True)
+
     for label, c in (("full_forward_f32", cfg),
-                     ("full_forward_bf16", DPDistConfig(dtype="bfloat16"))):
-        f = jax.jit(lambda a, b, c=c: apply_dpdist(params, state, c, a, b,
-                                                   train=False)[0])
+                     ("full_forward_bf16", DPDistConfig(dtype="bfloat16")),
+                     ("full_forward_f32_table",
+                      DPDistConfig(fused_gather="table")),
+                     ("full_forward_bf16_table",
+                      DPDistConfig(dtype="bfloat16", fused_gather="table"))):
+        # consume both directions so neither dead-code-eliminates
+        f = jax.jit(lambda a, b, c=c: sum(
+            jnp.sum(o) for o in apply_dpdist(params, state, c, a, b,
+                                             train=False)[:2]))
         ms = t_ms(lambda: f(pcA, pcB))
         print(json.dumps({"stage": label, "ms": round(ms, 3),
                           "pairs_per_sec": round(B * 1000 / ms, 1)}),
