@@ -151,3 +151,30 @@ def test_direction_swap_symmetry(rng):
     ab2, ba2, _ = apply_dpdist(params, state, CFG, pcB, pcA)
     np.testing.assert_array_equal(np.asarray(ab1), np.asarray(ba2))
     np.testing.assert_array_equal(np.asarray(ba1), np.asarray(ab2))
+
+
+def test_frozen_loss_mfv_mode_matches(rng):
+    """The frozen-loss composition (the flagship PCRNet training loss)
+    under fused_gather='mfv' matches the XLA path: value and source-cloud
+    gradient — the exact computation train_pcrnet --loss_type dpdist
+    differentiates through on TPU."""
+    import jax
+    import numpy as np
+    from dpdist_tpu.configs import DPDistConfig
+    from dpdist_tpu.models import init_dpdist
+
+    cfg0 = DPDistConfig(num_point=16, embedding_size=64, k=3,
+                        mlp=(32, 32, 32), fused_gather="off")
+    cfg1 = cfg0.replace(fused_gather="mfv")
+    params, state = init_dpdist(jax.random.PRNGKey(0), cfg0)
+    pcA = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 16, 3)).astype(np.float32))
+    pcB = jnp.asarray(rng.uniform(-1.1, 1.1, (2, 16, 3)).astype(np.float32))
+
+    vals, grads = [], []
+    for cfg in (cfg0, cfg1):
+        lf = make_frozen_dpdist_loss(params, state, cfg)
+        v, g = jax.value_and_grad(lf)(pcA, pcB)
+        vals.append(float(v))
+        grads.append(np.asarray(g))
+    assert abs(vals[0] - vals[1]) < 2e-6
+    np.testing.assert_allclose(grads[1], grads[0], atol=2e-5)
