@@ -37,10 +37,16 @@ def save_checkpoint(path: str, tree: Any, *, step: Optional[int] = None,
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     paths, leaves = _flatten_with_paths(tree)
     arrays = {f"leaf_{i:05d}": np.asarray(l) for i, l in enumerate(leaves)}
-    np.savez(path + ".npz", **arrays)
+    # Atomic publish (write-temp + rename): a crash, container wipe, or
+    # concurrent reader (archival copy, git add, a resumed trainer) must
+    # never observe a torn checkpoint. The temp name ends in .npz so
+    # np.savez does not append a second extension.
+    np.savez(path + ".tmp.npz", **arrays)
+    os.replace(path + ".tmp.npz", path + ".npz")
     meta = {"paths": paths, "step": step, "metadata": metadata or {}}
-    with open(path + ".json", "w") as f:
+    with open(path + ".json.tmp", "w") as f:
         json.dump(meta, f)
+    os.replace(path + ".json.tmp", path + ".json")
     return path
 
 
@@ -97,7 +103,11 @@ def archive_checkpoint(src_base: str, dst_base: str, *,
     d = os.path.dirname(os.path.abspath(dst_base))
     if d:
         os.makedirs(d, exist_ok=True)
-    shutil.copyfile(src_base + ".npz", dst_base + ".npz")
+    # Atomic publish, npz first then json (readers key on the json): a
+    # torn archive after a crash/wipe/concurrent copy would defeat the
+    # mechanism's whole purpose.
+    shutil.copyfile(src_base + ".npz", dst_base + ".tmp.npz")
+    os.replace(dst_base + ".tmp.npz", dst_base + ".npz")
     with open(src_base + ".json") as f:
         meta = json.load(f)
     md = meta.setdefault("metadata", {})
@@ -105,8 +115,9 @@ def archive_checkpoint(src_base: str, dst_base: str, *,
         md[metric_name] = float(metric)
     if extra:
         md.update(extra)
-    with open(dst_base + ".json", "w") as f:
+    with open(dst_base + ".json.tmp", "w") as f:
         json.dump(meta, f)
+    os.replace(dst_base + ".json.tmp", dst_base + ".json")
     return dst_base
 
 
