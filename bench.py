@@ -335,6 +335,22 @@ def main():
         b = np.asarray(nn_distance(a_pts, b_pts)[0])
         return float(np.abs(a - b).max())
 
+    def p_mfv_x():
+        # r5 fused front half (points -> decoder input) vs the XLA
+        # composition; encode-math class tolerance (~1e-5 after
+        # normalization, like p_threedmfv).
+        from dpdist_tpu.kernels.mfv_gather_pallas import mfv_table_gather_x
+        from dpdist_tpu.kernels.table_gather_pallas import table_gather_x
+        from dpdist_tpu.ops.threedmfv import threedmfv
+
+        pts = jnp.asarray(rng.uniform(-0.9, 0.9, (4, 64, 3)).astype(np.float32))
+        q = jnp.asarray(rng.uniform(-1.1, 1.1, (4, 64, 3)).astype(np.float32))
+        a = np.asarray(mfv_table_gather_x(pts, q, 512, 0.125, 8, 5,
+                                          interpret=on_cpu))
+        fv = threedmfv(pts, 512, 0.125, impl="xla")
+        b = np.asarray(table_gather_x(fv, q, 8, 5, interpret=on_cpu))
+        return float(np.abs(a - b).max())
+
     def p_fused_forward():
         # bf16 serving kernel vs the composed bf16 path (same numerics
         # class; tolerance asserted by the driver-facing field value).
@@ -372,6 +388,7 @@ def main():
         "threedmfv_pallas_vs_xla_maxdiff": parity(p_threedmfv),
         "table_gather_pallas_vs_xla_maxdiff": parity(p_table_gather),
         "chamfer_pallas_vs_xla_maxdiff": parity(p_chamfer),
+        "mfv_x_pallas_vs_xla_maxdiff": parity(p_mfv_x),
         "fused_forward_vs_composed_bf16_maxdiff": parity(p_fused_forward),
     }))
 
