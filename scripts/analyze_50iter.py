@@ -54,6 +54,17 @@ PAIRS = {
     "mf_ar_dpdist": "runs/eval_r4_mf/mf_ar_dpdist_clean.json",
     "mf_ts1200clip_s1_dpdist": "runs/eval_r4_mf/mf_ts1200clip_s1_dpdist_clean.json",
     "mf_ts1200clip_s2_dpdist": "runs/eval_r4_mf/mf_ts1200clip_s2_dpdist_clean.json",
+    # round-5 seed replica of the recipe that PASSES no-stop@50
+    "mf_tsn1200clip_s1_dpdist":
+        "runs/eval_r4_mf/mf_tsn1200clip_s1_dpdist_clean.json",
+}
+
+# noise-template twin of the no-stop@50 protocol (round-5: the passing
+# recipes re-run under the corruption column; 8-iter anchors from the
+# group-D noise cells)
+NOISE_PAIRS = {
+    "mf_tsn1200clip_dpdist": "runs/eval_r4_mf/mf_tsn1200clip_dpdist_noise.json",
+    "mf_loops16_dpdist": "runs/eval_r4_mf/mf_loops16_dpdist_noise.json",
 }
 
 
@@ -96,6 +107,31 @@ def main():
     print("|---|---|---|---|---|")
     for r in rows:
         print(r)
+
+    noise_rows = []
+    for key, p8 in NOISE_PAIRS.items():
+        d50 = load(f"runs/eval50_noise_r5/{key}_noise.json")
+        d8 = load(p8)
+        if d50 is None or d8 is None:
+            continue
+        c50, c8 = chair(d50), chair(d8)
+        rec = {
+            "rot8": c8["rot_err_mean_deg"], "rot50": c50["rot_err_mean_deg"],
+            "te8": c8["trans_err_mean"], "te50": c50["trans_err_mean"],
+            "acc8": c8["acc_rot2.5_trans0.05"],
+            "acc50": c50["acc_rot2.5_trans0.05"],
+        }
+        rec["stable"] = bool(rec["acc50"] >= rec["acc8"] - 1e-9)
+        out[f"{key}_noise"] = rec
+        noise_rows.append(
+            f"| {key} (noise) | {rec['rot8']:.2f} -> {rec['rot50']:.2f} "
+            f"| {rec['te8']:.4f} -> {rec['te50']:.4f} "
+            f"| {100*rec['acc8']:.1f}% -> {100*rec['acc50']:.1f}% "
+            f"| {'PASS' if rec['stable'] else 'FAIL'} |")
+    if noise_rows:
+        print("\nNoise-template twin (corruption column, no-stop@50):")
+        for r in noise_rows:
+            print(r)
 
     # Group F: the same 50-iteration eval WITH the convergence-stopping
     # protocol (--stop_threshold 1e-7). Reported next to the no-stop row

@@ -60,6 +60,20 @@ MF = {
                                 "multifam_r4/mf_ts_s2_dpdist_{c}.json"],
 }
 
+# Round-5: seed spreads of the grad-clipped 1200-epoch recipes (the
+# post-fix-TRAINED cells VERDICT r4 Weak #3 asked for). Seed 0 of the
+# ts recipe is the r4 mf1200clip training; s1/s2 are the r5a chain
+# replicas; the tsn (noise-trained) pair is the recipe that passes
+# no-stop@50 — seed 1 trained by chain_r5b.
+MF_CLIP = {
+    ("ts1200clip", "dpdist"): ["multifam_r4/mf1200clip_{c}.json",
+                               "multifam_r4/mf_ts1200clip_s1_dpdist_{c}.json",
+                               "multifam_r4/mf_ts1200clip_s2_dpdist_{c}.json"],
+    ("tsn1200clip", "dpdist"): ["multifam_r4/mf_tsn1200clip_dpdist_{c}.json",
+                                "multifam_r4/mf_tsn1200clip_s1_dpdist_{c}.json"],
+    ("tsn1200clip", "chamfer"): ["multifam_r4/mf_tsn1200clip_chamfer_{c}.json"],
+}
+
 
 def cell_stats(paths, cond, metric="rot_err_mean_deg", family=None):
     vals = []
@@ -118,6 +132,24 @@ def main():
         print(f"| {recipe} {loss} | " + " | ".join(row) + " |")
         out["multifam"][f"{recipe}/{loss}"] = {
             c: cell_stats(paths, c, family="chair")
+            for c in ("clean", "noise")}
+
+    print("\n## Multifam 1200-epoch grad-clipped recipes (chair slice), "
+          "rot err (deg) / acc@(2.5,0.05)\n")
+    print("| Model | clean rot | noise rot | clean acc | noise acc |")
+    print("|---|---|---|---|---|")
+    out["multifam_clip"] = {}
+    for (recipe, loss), paths in MF_CLIP.items():
+        rots = [fmt(cell_stats(paths, c, family="chair"))
+                for c in ("clean", "noise")]
+        accs = [fmt([100 * v for v in cell_stats(
+            paths, c, metric="acc_rot2.5_trans0.05", family="chair")])
+            for c in ("clean", "noise")]
+        print(f"| {recipe} {loss} | " + " | ".join(rots + accs) + " |")
+        out["multifam_clip"][f"{recipe}/{loss}"] = {
+            c: {"rot": cell_stats(paths, c, family="chair"),
+                "acc": cell_stats(paths, c, metric="acc_rot2.5_trans0.05",
+                                  family="chair")}
             for c in ("clean", "noise")}
 
     # head-to-head restatement: per seed, per condition, does dpdist beat
