@@ -54,9 +54,15 @@ PAIRS = {
     "mf_ar_dpdist": "runs/eval_r4_mf/mf_ar_dpdist_clean.json",
     "mf_ts1200clip_s1_dpdist": "runs/eval_r4_mf/mf_ts1200clip_s1_dpdist_clean.json",
     "mf_ts1200clip_s2_dpdist": "runs/eval_r4_mf/mf_ts1200clip_s2_dpdist_clean.json",
-    # round-5 seed replica of the recipe that PASSES no-stop@50
+    # round-5 seed replicas of the recipe that PASSES no-stop@50
     "mf_tsn1200clip_s1_dpdist":
         "runs/eval_r4_mf/mf_tsn1200clip_s1_dpdist_clean.json",
+    "mf_tsn1200clip_s2_dpdist":
+        "runs/eval_r4_mf/mf_tsn1200clip_s2_dpdist_clean.json",
+    # seed replica of the chamfer twin (the single-seed cell behind the
+    # "dpdist-loss is what makes it stable" conclusion)
+    "mf_tsn1200clip_s1_chamfer":
+        "runs/eval_r4_mf/mf_tsn1200clip_s1_chamfer_clean.json",
 }
 
 # noise-template twin of the no-stop@50 protocol (round-5: the passing

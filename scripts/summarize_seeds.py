@@ -70,8 +70,10 @@ MF_CLIP = {
                                "multifam_r4/mf_ts1200clip_s1_dpdist_{c}.json",
                                "multifam_r4/mf_ts1200clip_s2_dpdist_{c}.json"],
     ("tsn1200clip", "dpdist"): ["multifam_r4/mf_tsn1200clip_dpdist_{c}.json",
-                                "multifam_r4/mf_tsn1200clip_s1_dpdist_{c}.json"],
-    ("tsn1200clip", "chamfer"): ["multifam_r4/mf_tsn1200clip_chamfer_{c}.json"],
+                                "multifam_r4/mf_tsn1200clip_s1_dpdist_{c}.json",
+                                "multifam_r4/mf_tsn1200clip_s2_dpdist_{c}.json"],
+    ("tsn1200clip", "chamfer"): ["multifam_r4/mf_tsn1200clip_chamfer_{c}.json",
+                                 "multifam_r4/mf_tsn1200clip_s1_chamfer_{c}.json"],
 }
 
 
