@@ -72,7 +72,13 @@ def _time_pairs_per_sec(fn, batch, iters=30):
 
 
 def main():
-    if os.environ.get("DPDIST_PLATFORM", "").lower() not in ("cpu",):
+    if os.environ.get("DPDIST_PLATFORM", "").lower() in ("cpu",):
+        # Actually run on CPU (the sitecustomize pins the default
+        # platform to the axon relay and ignores JAX_PLATFORMS; without
+        # this a "CPU smoke" would silently contend the TPU).
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    else:
         if not _wait_for_relay():
             # Emit an explicit, machine-readable failure rather than
             # hanging: the chip is unreachable, not slow. Last healthy
