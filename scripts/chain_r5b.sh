@@ -62,14 +62,14 @@ if [ -f "$D/pcrnet_ckpt_best.json" ]; then
     --ckpts $CK --conditions clean noise --out_dir runs/eval_r4_mf \
     >> "runs/r5b_eval.log" 2>&1
   say "eval8 rc=$?"
-  cp runs/eval_r4_mf/summary.txt results/multifam_r4/ 2>/dev/null
+  python scripts/merge_summary.py runs/eval_r4_mf/summary.txt results/multifam_r4/summary.txt 2>/dev/null
   cp runs/eval_r4_mf/*.json results/multifam_r4/ 2>/dev/null
   say "start eval50 $NAME"
   timeout 5400 python -m dpdist_tpu.cli.eval_matrix --skip_existing $MF \
     --iterations 50 --ckpts "$NAME=$D/pcrnet_ckpt_best" --conditions clean \
     --out_dir runs/eval50_r4 >> "runs/r5b_eval.log" 2>&1
   say "eval50 rc=$?"
-  cp runs/eval50_r4/summary.txt results/eval50_r4/ 2>/dev/null
+  python scripts/merge_summary.py runs/eval50_r4/summary.txt results/eval50_r4/summary.txt 2>/dev/null
   cp runs/eval50_r4/*.json results/eval50_r4/ 2>/dev/null
 fi
 say "DONE"
