@@ -138,6 +138,13 @@ def main():
         lambda: fwd256(params, state, pcA256, pcB256), batch, iters=15)
 
     # ---- training step (forward + backward + Adam) at np=64
+    # Grad contexts resolve 'auto' dispatch to 'table' like the shipped
+    # trainers do (models/dpdist.resolve_for_grad; idle A/B
+    # results/idle_r5/ab_grad_paths.jsonl).
+    from dpdist_tpu.models.dpdist import resolve_for_grad
+
+    gcfg = resolve_for_grad(cfg)
+    gcfg16 = resolve_for_grad(cfg16)
     optimizer = make_optimizer(TrainConfig(batch_size=batch))
     opt_state = optimizer.init(params)
     labels = jnp.asarray(
@@ -146,7 +153,7 @@ def main():
     @jax.jit
     def train_step(p, s, o, a, b, lab):
         def loss_fn(pp, ss):
-            pred_AB, _, new_s = apply_dpdist(pp, ss, cfg, a, b, train=True)
+            pred_AB, _, new_s = apply_dpdist(pp, ss, gcfg, a, b, train=True)
             return l1_sample_loss(pred_AB, lab), new_s
 
         (loss, new_s), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, s)
@@ -168,7 +175,7 @@ def main():
     @jax.jit
     def train_step_bf16(p, s, o, a, b, lab):
         def loss_fn(pp, ss):
-            pred_AB, _, new_s = apply_dpdist(pp, ss, cfg16, a, b, train=True)
+            pred_AB, _, new_s = apply_dpdist(pp, ss, gcfg16, a, b, train=True)
             return l1_sample_loss(pred_AB, lab), new_s
 
         (loss, new_s), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, s)
@@ -194,7 +201,7 @@ def main():
     @jax.jit
     def frozen_grad(p, s, a, b):
         return jax.grad(
-            lambda aa, bb: dpdist_distance(p, s, cfg, aa, bb), (0, 1)
+            lambda aa, bb: dpdist_distance(p, s, gcfg, aa, bb), (0, 1)
         )(a, b)
 
     frozen_64 = _time_pairs_per_sec(
@@ -207,7 +214,7 @@ def main():
     @jax.jit
     def frozen_grad_src(p, s, a, b):
         return jax.grad(
-            lambda aa: dpdist_distance(p, s, cfg, aa, b))(a)
+            lambda aa: dpdist_distance(p, s, gcfg, aa, b))(a)
 
     frozen_src_64 = _time_pairs_per_sec(
         lambda: frozen_grad_src(params, state, pcA, pcB), batch, iters=20)

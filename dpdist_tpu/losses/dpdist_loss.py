@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 
 from dpdist_tpu.configs import DPDistConfig
-from dpdist_tpu.models.dpdist import dpdist_distance
+from dpdist_tpu.models.dpdist import dpdist_distance, resolve_for_grad
 
 
 def make_frozen_dpdist_loss(params, state, cfg: DPDistConfig,
@@ -38,6 +38,11 @@ def make_frozen_dpdist_loss(params, state, cfg: DPDistConfig,
     inside the valid domain without affecting in-grid gradients. Set 0 to
     reproduce the raw reference semantics.
     """
+    # A frozen loss exists to be differentiated (wrt the clouds): resolve
+    # the 'auto' kernel dispatch for the grad context (the fused-forward
+    # 'mfv' kernel loses 1.37x on the src-grad path — see
+    # models/dpdist.resolve_for_grad).
+    cfg = resolve_for_grad(cfg)
 
     def loss_fn(pcA, pcB):
         # stop_gradient inside the traced function so params stay frozen

@@ -305,19 +305,54 @@ def _fused_gather_mode(cfg: DPDistConfig) -> str:
     #     (bit-equal) outputs;
     #   * round 5, points-level fused kernel ('mfv',
     #     kernels/mfv_gather_pallas.py): also folds the 3DmFV encode,
-    #     voxel assign, and concat into the same program — full fwd
-    #     1.53-1.57x over 'table' (6.6 vs 10.1 ms bf16), train param-grad
-    #     step 1.45x, frozen src-grad 1.34x (scripts/probe_mfv_fused.py;
-    #     parity <= 7.6e-6 on chip). auto picks it for full-FV configs;
-    #     queries beyond one tile (N > 128) fall back to 'table' at apply
-    #     time. The XLA path remains the CPU/test path (the kernels fall
-    #     back to interpret mode off-TPU, which is slower than XLA for
-    #     real workloads).
+    #     voxel assign, and concat into the same program — BIDIRECTIONAL
+    #     forward 1.5-1.6x over 'table' (6.0 vs 9.7 ms f32 full fwd,
+    #     idle-chip; parity <= 7.6e-6 on chip). auto picks it for full-FV
+    #     configs; queries beyond one tile (N > 128) fall back to 'table'
+    #     at apply time. The XLA path remains the CPU/test path (the
+    #     kernels fall back to interpret mode off-TPU, which is slower
+    #     than XLA for real workloads).
+    #   * GRADIENT contexts are the opposite (idle-chip interleaved A/B,
+    #     results/idle_r5/ab_grad_paths.jsonl): 'table' wins the
+    #     param-grad train step 1.29x (33.3k vs 25.8k pairs/s f32) and the
+    #     frozen src-grad 1.37x (11.1k vs 8.1k). Two mechanisms: (a) the
+    #     2B fused kernel is opaque to XLA, so a loss that consumes one
+    #     direction (the trainer's l1 on pred_AB) still pays for both,
+    #     while the XLA/table path dead-code-eliminates the unused
+    #     direction; (b) the mfv custom VJP must replay the 3DmFV encode
+    #     forward inside the backward (the fused kernel never materializes
+    #     the FV volume to save as a residual). Call sites that build
+    #     differentiated computations resolve 'auto' with
+    #     resolve_for_grad() below.
     from dpdist_tpu.ops.threedmfv import _on_tpu
 
     if not _on_tpu():
         return "off"
     return "mfv" if cfg.full_fv else "table"
+
+
+def resolve_for_grad(cfg: DPDistConfig) -> DPDistConfig:
+    """Resolve fused_gather='auto' for a computation that will be
+    differentiated (training losses, frozen-loss composition).
+
+    Idle-chip A/B (results/idle_r5/ab_grad_paths.jsonl): the 'table'
+    dispatch beats the 'mfv' fused kernel on every gradient path — train
+    param-grad step 33.3k vs 25.8k pairs/s (f32), frozen src-grad 11.1k
+    vs 8.1k — while 'mfv' wins the pure bidirectional forward 1.5x. See
+    the mechanism notes in _fused_gather_mode. Explicit (non-'auto')
+    settings are respected unchanged; off-TPU the 'auto' path already
+    resolves to the XLA implementation, which is also the right grad
+    path there.
+    """
+    if cfg.fused_gather != "auto":
+        return cfg
+    from dpdist_tpu.ops.threedmfv import _on_tpu
+
+    if not _on_tpu():
+        return cfg
+    import dataclasses
+
+    return dataclasses.replace(cfg, fused_gather="table")
 
 
 def apply_dpdist(params, state, cfg: DPDistConfig, pcA, pcB, *,

@@ -49,7 +49,14 @@ class DPDistTrainer:
         self.state = replicate(state, self.mesh)
         self.optimizer = make_optimizer(train_cfg)
 
-        mcfg = model_cfg
+        # The train step is a grad context: 'auto' dispatch resolves to
+        # 'table' there (1.29x over the fused 'mfv' kernel — the one-
+        # direction l1 loss lets XLA DCE the unused direction, which the
+        # opaque 2B kernel prevents; models/dpdist.resolve_for_grad).
+        # Monitors/eval below keep the original cfg (forward-only).
+        from dpdist_tpu.models.dpdist import resolve_for_grad
+
+        mcfg = resolve_for_grad(model_cfg)
 
         def loss_fn(p, s, batch):
             pcA, pcB, labels = batch["pcA"], batch["pcB"], batch["labels"]

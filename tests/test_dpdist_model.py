@@ -178,3 +178,35 @@ def test_frozen_loss_mfv_mode_matches(rng):
         grads.append(np.asarray(g))
     assert abs(vals[0] - vals[1]) < 2e-6
     np.testing.assert_allclose(grads[1], grads[0], atol=2e-5)
+
+
+def test_resolve_for_grad_dispatch(monkeypatch):
+    """Grad contexts resolve 'auto' to 'table' on TPU (idle A/B,
+    results/idle_r5/ab_grad_paths.jsonl: table wins every grad path) and
+    leave everything else alone."""
+    import importlib
+
+    # the ops package re-exports the threedmfv FUNCTION under the same
+    # name, shadowing attribute access to the submodule
+    tmfv = importlib.import_module("dpdist_tpu.ops.threedmfv")
+    from dpdist_tpu.models.dpdist import resolve_for_grad, _fused_gather_mode
+
+    auto = DPDistConfig()
+    assert auto.fused_gather == "auto"
+
+    # Off-TPU: unchanged ('auto' already resolves to the XLA path).
+    monkeypatch.setattr(tmfv, "_on_tpu", lambda: False)
+    assert resolve_for_grad(auto) is auto
+    assert _fused_gather_mode(auto) == "off"
+
+    # On TPU: auto -> table for grads (forward auto stays 'mfv').
+    monkeypatch.setattr(tmfv, "_on_tpu", lambda: True)
+    g = resolve_for_grad(auto)
+    assert g.fused_gather == "table"
+    assert g.replace(fused_gather="auto") == auto  # nothing else touched
+    assert _fused_gather_mode(auto) == "mfv"
+
+    # Explicit settings are respected in grad contexts too.
+    for explicit in ("off", "on", "table", "mfv", "full"):
+        c = auto.replace(fused_gather=explicit)
+        assert resolve_for_grad(c) is c
