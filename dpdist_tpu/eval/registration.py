@@ -234,6 +234,7 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
 
     all_te, all_re, all_ce = [], [], []
     all_frozen, all_conv_iter = [], []
+    all_Tf, all_gt = [], []  # final transforms + gt poses (symmetry metrics)
     families: list = []  # per-case family labels (when the dataset has them)
     batch_times = []  # per-batch wall time; [0] includes jit compilation
     # Probe return_info support once up front (a per-batch `except
@@ -270,12 +271,14 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
             source = np.concatenate([source, source[:1].repeat(pad, 0)])
             gt = np.concatenate([gt, gt[:1].repeat(pad, 0)])
         tb = time.perf_counter()
-        _, te, re, ce, frozen, conv_iter = program(
+        T_final, te, re, ce, frozen, conv_iter = program(
             params, state, cfg, jnp.asarray(template),
             jnp.asarray(source), jnp.asarray(gt),
             iterations, stop_threshold, stop_period, stop_select)
         te = np.asarray(te)  # synchronous fetch closes the batch timing
         batch_times.append((time.perf_counter() - tb, b))
+        all_Tf.append(np.asarray(T_final)[:b])
+        all_gt.append(np.asarray(gt)[:b])
         all_te.append(te[:, :b])
         all_re.append(np.asarray(re)[:, :b])
         all_ce.append(np.asarray(ce)[:, :b])
@@ -322,6 +325,34 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
     # slices stats per run config, helper.py:795-911; here the slice key
     # is the template's shape family).
     if any(f is not None for f in families):
+        # Symmetry-aware rotation error (geometry/symmetry.py): the raw
+        # geodesic metric charges rotationally symmetric templates
+        # (cylinder/torus/cone/capsule, D2 for box/ellipsoid) for an
+        # unobservable twist; the sym metric scores against the whole
+        # ground-truth coset. Trivial families (chair) are unchanged.
+        from dpdist_tpu.geometry.symmetry import symmetry_aware_errors
+
+        Tf = np.concatenate(all_Tf)           # predicted accumulated T
+        gts = np.concatenate(all_gt)
+        # predicted pose = inverse of the accumulated transform (module
+        # docstring); its rotation block is the transpose.
+        R_pred = np.swapaxes(Tf[:, :3, :3], -1, -2)
+        R_gt = np.asarray(pose6_to_matrix(jnp.asarray(gts)))[:, :3, :3]
+        sym_re = symmetry_aware_errors(R_pred, R_gt, families)
+        # For trivial-symmetry families the sym metric IS the raw metric
+        # by definition — reuse the on-device final_re exactly rather
+        # than recomputing it host-side (the f32 arccos paths differ by
+        # ~0.1 deg at near-0/near-180 cases).
+        from dpdist_tpu.geometry.symmetry import FAMILY_SYMMETRY
+
+        trivial = np.asarray(
+            [FAMILY_SYMMETRY.get(f or "") is None for f in families])
+        sym_re = np.where(trivial, final_re, sym_re)
+        report["sym_rot_err_mean_deg"] = float(sym_re.mean())
+        report["sym_acc"] = {
+            k.replace("acc_", "sym_acc_"): v
+            for k, v in accuracy_buckets(sym_re, final_te).items()}
+
         fam_arr = np.asarray([f or "unknown" for f in families])
         per_family = {}
         for fam in sorted(set(fam_arr)):
@@ -331,6 +362,10 @@ def evaluate_registration(params, cfg: PCRNetConfig, dataset, *,
                 "rot_err_mean_deg": float(final_re[m].mean()),
                 "trans_err_mean": float(final_te[m].mean()),
                 **accuracy_buckets(final_re[m], final_te[m]),
+                "sym_rot_err_mean_deg": float(sym_re[m].mean()),
+                **{k.replace("acc_", "sym_acc_"): v
+                   for k, v in accuracy_buckets(sym_re[m],
+                                                final_te[m]).items()},
             }
         report["per_family"] = per_family
 

@@ -8,6 +8,11 @@ from dpdist_tpu.geometry.rotations import (
     rotation_6d_to_matrix,
     rotation_geodesic_error,
 )
+from dpdist_tpu.geometry.symmetry import (
+    FAMILY_SYMMETRY,
+    symmetry_aware_rotation_error,
+    symmetry_aware_errors,
+)
 from dpdist_tpu.geometry.se3 import (
     pose6_to_matrix,
     pose7_to_matrix,
@@ -36,4 +41,7 @@ __all__ = [
     "compose_transforms",
     "invert_transform",
     "transform_errors",
+    "FAMILY_SYMMETRY",
+    "symmetry_aware_rotation_error",
+    "symmetry_aware_errors",
 ]
