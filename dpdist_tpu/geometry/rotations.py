@@ -16,7 +16,18 @@ All functions broadcast over leading batch dimensions.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+
+# All matmuls in this module are 3x3/4x4 pose algebra: force exact-f32
+# accumulation. TPU's DEFAULT matmul precision uses bf16 passes, which
+# injects ~1e-2 absolute entry error — measured on-chip as mean 2.8 /
+# max 11.4 deg of geodesic rotation-error noise through an 8-step
+# compose chain (probe in RESULTS.md round 5; HIGHEST: 0.002 deg).
+# At these shapes HIGHEST costs nothing.
+_matmul = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 
 def _rx(a):
@@ -49,7 +60,7 @@ def euler_zyx_to_matrix(rx, ry, rz):
     Matches transforms3d euler2mat(rz, ry, rx, 'szyx') and the reference's
     apply_transformation order (helper.py:229-258).
     """
-    return _rx(rx) @ _ry(ry) @ _rz(rz)
+    return _matmul(_matmul(_rx(rx), _ry(ry)), _rz(rz))
 
 
 def matrix_to_euler_zyx(R):
@@ -187,7 +198,7 @@ def rotation_geodesic_error(R_pred, R_gt):
     Matches the evaluator's find_errors (results_itrPCRNet_no_stop.py:112-133):
     error = ||rodrigues(R_pred^T @ R_gt)|| in degrees.
     """
-    M = jnp.swapaxes(R_pred, -1, -2) @ R_gt
+    M = _matmul(jnp.swapaxes(R_pred, -1, -2), R_gt)
     tr = M[..., 0, 0] + M[..., 1, 1] + M[..., 2, 2]
     cos_theta = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
     return jnp.degrees(jnp.arccos(cos_theta))

@@ -8,7 +8,18 @@ inside one jitted lax.scan instead of host/device ping-pong per iteration.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+
+# Exact-f32 matmuls for all pose algebra AND point-cloud transforms:
+# TPU default matmul precision (bf16 passes) puts ~1e-2 entry error
+# into composed transforms (on-chip probe: mean 2.8 / max 11.4 deg
+# geodesic noise after 8 composes vs 0.002 deg at HIGHEST; RESULTS.md
+# round 5) and ~4e-3 coordinate error into transformed clouds. These
+# are 3x3/4x4-by-N ops; HIGHEST is effectively free.
+_matmul = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 from dpdist_tpu.geometry.rotations import (
     euler_zyx_to_matrix,
@@ -52,7 +63,7 @@ def apply_pose6(points, pose6):
     rotate by Rz then Ry then Rx, then translate.
     """
     R = euler_zyx_to_matrix(pose6[..., 3], pose6[..., 4], pose6[..., 5])
-    return points @ jnp.swapaxes(R, -1, -2) + pose6[..., None, 0:3]
+    return _matmul(points, jnp.swapaxes(R, -1, -2)) + pose6[..., None, 0:3]
 
 
 def apply_quat(points, quat, translation):
@@ -62,14 +73,14 @@ def apply_quat(points, quat, translation):
     (helper.py:539-570); differentiable w.r.t. all inputs.
     """
     R = quat_to_matrix(quat)
-    return points @ jnp.swapaxes(R, -1, -2) + translation[..., None, :]
+    return _matmul(points, jnp.swapaxes(R, -1, -2)) + translation[..., None, :]
 
 
 def apply_transform(points, T):
     """Apply (..., 4, 4) homogeneous transform to (..., N, 3) points."""
     R = T[..., :3, :3]
     t = T[..., :3, 3]
-    return points @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    return _matmul(points, jnp.swapaxes(R, -1, -2)) + t[..., None, :]
 
 
 def compose_transforms(T_new, T_prev):
@@ -78,7 +89,7 @@ def compose_transforms(T_new, T_prev):
     Mirrors transformation_quat2mat's update (helper.py:309-329), which
     pre-multiplies the per-iteration transform onto the running product.
     """
-    return T_new @ T_prev
+    return _matmul(T_new, T_prev)
 
 
 def invert_transform(T):
@@ -86,7 +97,7 @@ def invert_transform(T):
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     Rt = jnp.swapaxes(R, -1, -2)
-    ti = -(Rt @ t[..., None])[..., 0]
+    ti = -(_matmul(Rt, t[..., None]))[..., 0]
     Ti = jnp.zeros_like(T)
     Ti = Ti.at[..., :3, :3].set(Rt)
     Ti = Ti.at[..., :3, 3].set(ti)
@@ -120,7 +131,7 @@ def convergence_measure(T, T_prev):
 
     Matches check_convergenceT (results_itrPCRNet_no_stop.py:155-167).
     """
-    M = T @ invert_transform(T_prev)
+    M = _matmul(T, invert_transform(T_prev))
     eye = jnp.eye(4, dtype=T.dtype)
     d = M - eye
     return jnp.sum(d * d, axis=(-1, -2))
