@@ -30,6 +30,18 @@ CELLS = [
     "mf_tsn1200clip_s1_chamfer",
     "mf_ts1200clip_s1_dpdist",
     "mf_ts1200clip_s2_dpdist",
+    "mf_loops16_dpdist",
+    "mf_loops16_chamfer",
+    "mf_ar_dpdist",
+]
+
+# 50-iter cells re-run WITH the round-4 period0 serving stop
+# (--stop_threshold 1e-3 --stop_period 2 --stop_select period0), to
+# re-test the "stop recovers 8-iter accuracy" claim post-fix.
+STOP_CELLS = [
+    "mf_tsn1200clip_dpdist",
+    "mf_tsn1200clip_s1_dpdist",
+    "mf_tsn1200clip_s2_dpdist",
 ]
 
 
@@ -94,6 +106,30 @@ def main():
                 "min": min(vals) if vals else None,
                 "max": max(vals) if vals else None}
 
+    # period0-stop recovery cells (present only after the stop battery)
+    stop = {}
+    for key in STOP_CELLS:
+        ds = load(f"runs/eval_px50stop/{key}_clean.json")
+        if ds is None or key not in out:
+            continue
+        shutil.copy(os.path.join(ROOT, f"runs/eval_px50stop/{key}_clean.json"),
+                    os.path.join(OUT, f"px50stop_{key}_clean.json"))
+        cs = chair(ds)
+        stop[key] = {
+            "chair_rot50stop": cs["rot_err_mean_deg"],
+            "chair_te50stop": cs["trans_err_mean"],
+            "chair_acc50stop": cs["acc_rot2.5_trans0.05"],
+            "recovers_8iter": bool(cs["acc_rot2.5_trans0.05"]
+                                   >= out[key]["chair_acc8"] - 1e-9),
+        }
+    if stop:
+        print("\nperiod0-stop @50 vs no-stop (chair acc@2.5):")
+        for k, s in stop.items():
+            print(f"  {k}: @8 {100*out[k]['chair_acc8']:.1f}% | no-stop@50 "
+                  f"{100*out[k]['chair_acc50']:.1f}% | stop@50 "
+                  f"{100*s['chair_acc50stop']:.1f}% "
+                  f"({'recovers' if s['recovers_8iter'] else 'partial'})")
+
     seeds = {
         "tsn_dpdist_chair_acc50": spread(
             ["mf_tsn1200clip_dpdist", "mf_tsn1200clip_s1_dpdist",
@@ -109,7 +145,7 @@ def main():
                              ["mf_ts1200clip_s1_dpdist",
                               "mf_ts1200clip_s2_dpdist"] if k in out],
     }
-    payload = {"cells": out, "seeds": seeds,
+    payload = {"cells": out, "seeds": seeds, "stop_cells": stop,
                "protocol": "5070-case fixed-pose MF clean, post-fix "
                            "(HIGHEST pose algebra), one pipeline"}
     with open(os.path.join(OUT, "no_stop_postfix.json"), "w") as f:
