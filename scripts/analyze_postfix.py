@@ -33,6 +33,10 @@ CELLS = [
     "mf_loops16_dpdist",
     "mf_loops16_chamfer",
     "mf_ar_dpdist",
+    # horizon-extension fine-tune FROM the tsn1200clip anchor (16-loop
+    # BPTT, 300 epochs, noise_prob 1.0) — the one trained-fix cell the
+    # from-scratch loops16 failure left untested.
+    "mf_tsn_ft16",
 ]
 
 # 50-iter cells re-run WITH the round-4 period0 serving stop
@@ -42,6 +46,7 @@ STOP_CELLS = [
     "mf_tsn1200clip_dpdist",
     "mf_tsn1200clip_s1_dpdist",
     "mf_tsn1200clip_s2_dpdist",
+    "mf_tsn_ft16",
 ]
 
 
