@@ -28,6 +28,7 @@ CELLS = [
     "mf_tsn1200clip_s2_dpdist",
     "mf_tsn1200clip_chamfer",
     "mf_tsn1200clip_s1_chamfer",
+    "mf_tsn1200clip_s2_chamfer",
     "mf_ts1200clip_s1_dpdist",
     "mf_ts1200clip_s2_dpdist",
     "mf_loops16_dpdist",
@@ -145,7 +146,8 @@ def main():
                                "mf_tsn1200clip_s2_dpdist"] if k in out],
         "tsn_chamfer_stable": [out[k]["stable"] for k in
                                ["mf_tsn1200clip_chamfer",
-                                "mf_tsn1200clip_s1_chamfer"] if k in out],
+                                "mf_tsn1200clip_s1_chamfer",
+                                "mf_tsn1200clip_s2_chamfer"] if k in out],
         "ts_dpdist_stable": [out[k]["stable"] for k in
                              ["mf_ts1200clip_s1_dpdist",
                               "mf_ts1200clip_s2_dpdist"] if k in out],
