@@ -48,6 +48,14 @@ def main(argv=None):
                         "teaches the policy to emit the identity once "
                         "converged (fix for the no-stop@50 translation "
                         "drift, results/fixed_point_bias.json)")
+    p.add_argument("--fp_reg", type=float, default=0.0,
+                   help="L1 penalty on the actions of a --fp_steps rollout "
+                        "started from the GT-ALIGNED source (noise and "
+                        "sparse-split asymmetry preserved) — unlike "
+                        "--action_reg this conditions at the actual fixed "
+                        "point the 50-iter no-stop evaluator dwells in")
+    p.add_argument("--fp_steps", type=int, default=4,
+                   help="rollout length of the fp_reg aligned-state rollout")
     p.add_argument("--train_single", action="store_true",
                    help="supervise every refinement iteration (reference --train_single)")
     p.add_argument("--eval_cases", type=int, default=64,
@@ -82,6 +90,7 @@ def main(argv=None):
     trainer = PCRNetTrainer(pcfg, tcfg, loss_type=a.loss_type, dpdist=dpdist,
                             train_single=a.train_single,
                             action_reg=a.action_reg,
+                            fp_reg=a.fp_reg, fp_steps=a.fp_steps,
                             run_dir=a.log_dir, mesh=mesh_from_args(a))
     if a.resume:
         trainer.restore(a.resume)

@@ -38,6 +38,12 @@ CELLS = [
     # BPTT, 300 epochs, noise_prob 1.0) — the one trained-fix cell the
     # from-scratch loops16 failure left untested.
     "mf_tsn_ft16",
+    # lane E: fixed-point-conditioning cells (--fp_reg) — the rollout-
+    # from-the-GT-aligned-state action penalty, the one drift objective
+    # the horizon/action-reg candidates never tested.
+    "mf_tsn_fp1_dpdist",
+    "mf_tsn_fp03_dpdist",
+    "mf_tsnfp1200_dpdist",
 ]
 
 # 50-iter cells re-run WITH the round-4 period0 serving stop
@@ -48,6 +54,9 @@ STOP_CELLS = [
     "mf_tsn1200clip_s1_dpdist",
     "mf_tsn1200clip_s2_dpdist",
     "mf_tsn_ft16",
+    "mf_tsn_fp1_dpdist",
+    "mf_tsn_fp03_dpdist",
+    "mf_tsnfp1200_dpdist",
 ]
 
 

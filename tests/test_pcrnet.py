@@ -621,3 +621,52 @@ def test_stop_select_period0_keeps_even_composition_parity():
     assert it_last == it_p0 == 2  # both freeze at iteration index 2
     assert ang_last > 160.0, ang_last           # flipped parity kept
     assert ang_p0 < 15.0, ang_p0                # even parity kept
+
+
+def test_fp_reg_aligned_state_matches_template():
+    """fp_reg preamble correctness: undoing the gt pose on the source must
+    recover the pre-pose points. With sparse=1 and s_rand_points=0 the
+    else-branch makes source = apply_pose6_np(template_first_N), so the
+    jnp inversion (apply_transform + invert_transform + pose6_to_matrix)
+    must map the source back onto the template bit-tight."""
+    from dpdist_tpu.geometry.se3 import apply_transform
+
+    ds = RegistrationDataset(n_templates=2, num_point=64, seed=3,
+                             sparse=1, s_rand_points=0.0, centroid_sub=False)
+    template, source, pose6 = ds.sample_batch(4, random_points_prob=0.0)
+    T = pose6_to_matrix(jnp.asarray(pose6, dtype=jnp.float32))
+    aligned = apply_transform(jnp.asarray(source, jnp.float32),
+                              invert_transform(T))
+    np.testing.assert_allclose(np.asarray(aligned), template, atol=2e-5)
+
+
+def test_fp_reg_training_runs_and_penalizes(tmp_path):
+    """--fp_reg trains (both train modes), requires pose6, and a huge
+    lambda measurably shrinks the aligned-state action magnitude."""
+    ds = RegistrationDataset(n_templates=2, num_point=64, seed=0,
+                             sparse=1, s_rand_points=0.0, centroid_sub=False)
+    tcfg = TrainConfig(batch_size=4, learning_rate=1e-3, log_every=1000)
+    tr = PCRNetTrainer(PCFG, tcfg, loss_type="chamfer", train_single=True,
+                       fp_reg=1.0, fp_steps=2,
+                       run_dir=str(tmp_path / "fp"))
+    template, source, pose6 = ds.sample_batch(4)
+    with pytest.raises(ValueError):
+        tr.train_step(template, source)  # pose6 is mandatory under fp_reg
+    m0 = tr.train_step(template, source, pose6=pose6)
+    assert np.isfinite(float(m0["loss"]))
+
+    # the penalty is an addition: same data/seed without fp_reg gives a
+    # strictly smaller loss at the (identical) init
+    tr0 = PCRNetTrainer(PCFG, tcfg, loss_type="chamfer", train_single=True,
+                        run_dir=str(tmp_path / "nofp"))
+    m_plain = tr0.train_step(template, source)
+    assert float(m0["loss"]) > float(m_plain["loss"])
+
+    # optimizing ONLY the penalty (lambda >> loss scale) drives the
+    # aligned-state actions toward identity within a few steps
+    trh = PCRNetTrainer(PCFG, tcfg, loss_type="chamfer", train_single=True,
+                        fp_reg=1e4, fp_steps=2,
+                        run_dir=str(tmp_path / "fph"))
+    losses = [float(trh.train_step(template, source, pose6=pose6)["loss"])
+              for _ in range(12)]
+    assert min(losses[4:]) < 0.5 * losses[0], losses
